@@ -1,0 +1,69 @@
+"""IO round-trip tests (reference utils/IO.hpp readers/writers)."""
+
+import numpy as np
+
+from vaq_tpu import io
+
+
+def test_fvecs_roundtrip(tmp_path):
+    x = np.random.default_rng(0).standard_normal((10, 7)).astype(np.float32)
+    p = str(tmp_path / "a.fvecs")
+    io.write_fvecs(p, x)
+    y = io.read_fvecs(p)
+    np.testing.assert_array_equal(x, y)
+
+
+def test_fvecs_max_rows(tmp_path):
+    x = np.random.default_rng(0).standard_normal((10, 4)).astype(np.float32)
+    p = str(tmp_path / "a.fvecs")
+    io.write_fvecs(p, x)
+    y = io.read_fvecs(p, max_rows=3)
+    np.testing.assert_array_equal(x[:3], y)
+
+
+def test_ivecs_roundtrip(tmp_path):
+    x = np.random.default_rng(0).integers(0, 1000, size=(5, 100)).astype(np.int32)
+    p = str(tmp_path / "a.ivecs")
+    io.write_ivecs(p, x)
+    np.testing.assert_array_equal(io.read_ivecs(p), x)
+
+
+def test_reference_siftsmall_files_parse():
+    # The in-tree reference fixture files must parse with our readers.
+    q = io.read_fvecs("/root/reference/data/siftsmall/siftsmall_query.fvecs")
+    gt = io.read_ivecs("/root/reference/data/siftsmall/siftsmall_groundtruth.ivecs")
+    assert q.shape == (100, 128)
+    assert gt.shape == (100, 100)
+    assert gt.min() >= 0 and gt.max() < 10000
+
+
+def test_bin_roundtrip(tmp_path):
+    x = np.random.default_rng(1).standard_normal((6, 3)).astype(np.float32)
+    p = str(tmp_path / "a.bin")
+    x.tofile(p)
+    np.testing.assert_array_equal(io.read_bin(p, 3), x)
+
+
+def test_pad_dims():
+    x = np.ones((4, 10), np.float32)
+    y = io.pad_dims(x, 4)
+    assert y.shape == (4, 12)
+    np.testing.assert_array_equal(y[:, 10:], 0)
+    assert io.pad_dims(x, 5).shape == (4, 10)
+
+
+def test_index_npz_roundtrip(tmp_path):
+    p = str(tmp_path / "idx.npz")
+    arrays = {"a": np.arange(6).reshape(2, 3).astype(np.float32)}
+    meta = {"k": 5, "name": "x"}
+    io.save_index_npz(p, arrays, meta)
+    a2, m2 = io.load_index_npz(p)
+    np.testing.assert_array_equal(a2["a"], arrays["a"])
+    assert m2 == meta
+
+
+def test_write_knn_results(tmp_path):
+    p = str(tmp_path / "res.csv")
+    io.write_knn_results(p, np.array([[1, 2], [3, 4]]))
+    lines = open(p).read().strip().split("\n")
+    assert lines == ["1,2", "3,4"]

@@ -1,0 +1,66 @@
+"""Golden tests for the metric formulas (Experiment.hpp:234-369 ports)."""
+
+import numpy as np
+import pytest
+
+from vaq_tpu.metrics import (avg_recall, mean_average_precision, recall_at_r,
+                             cluster_index)
+
+
+def test_avg_recall_perfect():
+    pred = np.array([[0, 1, 2], [3, 4, 5]])
+    gt = np.array([[2, 1, 0], [5, 4, 3]])
+    assert avg_recall(pred, gt, 3) == 1.0
+
+
+def test_avg_recall_partial():
+    pred = np.array([[0, 1, 9]])   # 2 of 3 in gt top-3
+    gt = np.array([[2, 1, 0]])
+    assert avg_recall(pred, gt, 3) == pytest.approx(2 / 3)
+
+
+def test_avg_recall_k_prefix_of_gt():
+    # Only gt[:k] counts as relevant.
+    pred = np.array([[5]])
+    gt = np.array([[1, 5]])
+    assert avg_recall(pred, gt, 1) == 0.0
+    assert avg_recall(np.array([[1]]), gt, 1) == 1.0
+
+
+def test_recall_at_r():
+    gt = np.array([[7, 1, 2], [9, 1, 2]])
+    pred = np.array([[3, 7, 5], [0, 1, 2]])
+    # query 0 finds true NN (7) within r=3; query 1 doesn't find 9.
+    assert recall_at_r(pred, gt, 3) == 0.5
+    assert recall_at_r(pred, gt, 1) == 0.0
+
+
+def test_gt_offset():
+    # 1-based groundtruth files (IdxOffset=1 in the reference).
+    pred = np.array([[0, 1]])
+    gt = np.array([[1, 2]])
+    assert avg_recall(pred, gt, 2, gt_offset=1) == 1.0
+
+
+def test_map_perfect():
+    pred = np.array([[0, 1, 2]])
+    gt = np.array([[0, 1, 2]])
+    assert mean_average_precision(pred, gt, 3) == pytest.approx(1.0)
+
+
+def test_map_formula_hand_computed():
+    # pred=[2,0,9], gt=[0,1,2], K=3.
+    # r=1: pred[0]=2 ∈ gt[:3] yes; |pred[:1] ∩ gt[:1]| = |{2}∩{0}| = 0 → 0/1
+    # r=2: pred[1]=0 ∈ gt[:3] yes; |{2,0}∩{0,1}| = 1 → 1/2
+    # r=3: pred[2]=9 ∉ gt[:3] → 0
+    # AP = (0 + 0.5 + 0)/3
+    pred = np.array([[2, 0, 9]])
+    gt = np.array([[0, 1, 2]])
+    assert mean_average_precision(pred, gt, 3) == pytest.approx(0.5 / 3)
+
+
+def test_cluster_index():
+    X = np.array([[0.0, 0.0], [2.0, 0.0]])
+    C = np.array([[1.0, 0.0]])
+    a = np.array([0, 0])
+    assert cluster_index(a, X, C) == pytest.approx(1.0)

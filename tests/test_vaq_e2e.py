@@ -1,0 +1,120 @@
+"""End-to-end VAQ pipeline: train → encode → search → refine with recall
+acceptance gates (the reference validates VAQ only this way, SURVEY §4)."""
+
+import numpy as np
+import pytest
+
+from vaq_tpu import metrics
+from vaq_tpu.config import parse_method_string
+from vaq_tpu.vaq import VAQIndex
+
+
+@pytest.fixture(scope="module")
+def trained(sift_like):
+    base, queries, gt = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,HEAP")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    return idx, base, queries, gt
+
+
+def test_train_state_shapes(trained):
+    idx, base, _, _ = trained
+    assert idx.bits.sum() == 128
+    assert idx.highest_subs == 16
+    assert idx.subs_len == 8
+    assert idx.centroids.shape == (16, 256, 8)
+    assert idx.codes.shape == (base.shape[0], 16)
+    assert idx.codes.dtype == np.uint8
+
+
+def test_codes_in_range(trained):
+    idx, _, _, _ = trained
+    codes = np.asarray(idx.codes)
+    for s in range(idx.highest_subs):
+        assert codes[:, s].max() < idx.centroid_counts[s]
+
+
+def test_recall_vs_groundtruth(trained):
+    idx, _, queries, gt = trained
+    k = 100
+    d, labels = idx.search(queries, k)
+    rec = metrics.avg_recall(labels, gt, k)
+    # ADC with a 128-bit budget on easy synthetic data should retrieve most
+    # of the true top-100. (Reference parity gate is Δ ≤ 0.5% vs its own
+    # measured number; this is a sanity floor so regressions are caught.)
+    assert rec > 0.8, f"avg recall too low: {rec}"
+    # distances must be non-decreasing per row
+    dd = np.asarray(d)
+    assert np.all(np.diff(dd, axis=1) >= -1e-4)
+
+
+def test_refine_improves_recall(trained):
+    idx, base, queries, gt = trained
+    k = 10
+    _, cand = idx.search(queries, 100)
+    _, refined = idx.refine(queries, cand, base, k)
+    rec_plain = metrics.avg_recall(
+        np.asarray(idx.search(queries, k)[1]), gt, k)
+    rec_refined = metrics.avg_recall(np.asarray(refined), gt, k)
+    assert rec_refined >= rec_plain - 0.02
+    assert rec_refined > 0.9
+
+
+def test_search_query_batch_invariance(trained):
+    idx, _, queries, _ = trained
+    _, l1 = idx.search(queries, 10, query_batch=7)
+    _, l2 = idx.search(queries, 10, query_batch=64)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_save_load_roundtrip(tmp_path, trained):
+    idx, _, queries, _ = trained
+    p = str(tmp_path / "index.npz")
+    idx.save(p)
+    idx2 = VAQIndex.load(p)
+    _, l1 = idx.search(queries[:8], 5)
+    _, l2 = idx2.search(queries[:8], 5)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_variance_truncation():
+    """var<1 keeps only the leading subspaces (V4)."""
+    from vaq_tpu.data import make_anisotropic_gaussian
+    base, queries = make_anisotropic_gaussian(2000, 64, 16, seed=1, decay=0.85)
+    cfg = parse_method_string("VAQ16m8min2max8var0.9,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    # Strong decay: only the leading subspaces survive the 0.9 cumvar cut.
+    assert idx.highest_subs < 8
+    assert idx.bits.sum() == 16
+    d, labels = idx.search(queries, 10)
+    assert np.asarray(labels).shape == (16, 10)
+
+
+def test_quantized_lut_search(sift_like):
+    """FAST-style u8-quantized-LUT search keeps recall close to f32 (V14/V16)."""
+    base, queries, gt = sift_like
+    cfg = parse_method_string("VAQ128m32min1max4var1,FAST")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    idx.learn_quantization(base, sample_ratio=0.05)
+    assert idx.lut_offsets is not None
+    _, labels = idx.search(queries, 100)
+    rec = metrics.avg_recall(np.asarray(labels), gt, 100)
+    # 4-bit subspaces: lower ceiling than 8-bit, but must be functional.
+    assert rec > 0.5, rec
+
+    # f32 path (no quantization) should be within a few points.
+    idx2 = VAQIndex(cfg.with_methods(
+        parse_method_string("VAQ128m32min1max4var1,SORT").methods)).train(
+        base).encode(base)
+    _, labels2 = idx2.search(queries, 100)
+    rec2 = metrics.avg_recall(np.asarray(labels2), gt, 100)
+    assert abs(rec - rec2) < 0.05
+
+
+def test_hardcoded_bit_allocation(sift_like):
+    base, queries, _ = sift_like
+    import dataclasses
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    cfg = dataclasses.replace(cfg, hardcoded_bits=(8,) * 16)
+    idx = VAQIndex(cfg).train(base)
+    assert list(idx.bits) == [8] * 16

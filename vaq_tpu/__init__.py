@@ -1,0 +1,33 @@
+"""vaq_tpu — TPU-native variance-aware quantization (VAQ) similarity-search engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of TheDatumOrg/VAQ
+("Fast Adaptive Similarity Search through Variance-Aware Quantization"):
+
+* PCA-rotated product quantization with ILP-driven non-uniform bit allocation
+  across subspaces (`vaq_tpu.bitalloc`, `vaq_tpu.pca`).
+* Per-subspace k-means codebooks trained with batched Lloyd iterations on the
+  MXU (`vaq_tpu.kmeans`).
+* ADC lookup-table search: LUT build as a batched einsum, the code scan as a
+  blocked gather/one-hot-matmul kernel fused with a streaming top-k
+  (`vaq_tpu.ops`).
+* Exact-distance refinement, LUT u8 quantization, IVF-style cluster probing
+  (the TPU analog of the reference's triangle-inequality pruning).
+* A binary/Hamming bit-vector engine (`vaq_tpu.binary`).
+* Database sharding over a `jax.sharding.Mesh` with per-shard top-k merged via
+  all-gather (`vaq_tpu.parallel`).
+
+Everything data-proportional is jitted with static shapes; host Python only
+orchestrates training-time control flow (the ILP, the k-means loop driver).
+"""
+
+from vaq_tpu.config import SearchMethod, VAQConfig, parse_method_string
+from vaq_tpu.vaq import VAQIndex
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SearchMethod",
+    "VAQConfig",
+    "parse_method_string",
+    "VAQIndex",
+]

@@ -1,0 +1,181 @@
+"""Dataset and artifact IO.
+
+Replaces the reference reader/writer suite (``bitvecengine/utils/IO.hpp``):
+fvecs / bvecs / ivecs / headerless-bin / ascii readers (``IO.hpp:91-334``),
+sampled readers (``IO.hpp:431-518``), KNN-result CSV writer (``IO.hpp:706``),
+and the centroid/codebook artifact persistence (``IO.hpp:522-772``).
+
+The TPU build reads with numpy (memory-mapped where possible) and persists the
+*full* index state as a single ``.npz`` — fixing the reference's gap of not
+saving the eigenvectors alongside the centroids (SURVEY §5: saved centroids
+alone cannot serve fresh queries there).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Texmex-style vector file formats: each record is [int32 dim][dim elements].
+# ---------------------------------------------------------------------------
+
+def _read_vecs(path: str, elem_dtype, max_rows: Optional[int] = None) -> np.ndarray:
+    """Read a {f,b,i}vecs file into an (n, d) array.
+
+    Mirrors readFVecsFromExternal / readBVecsFromExternal / readIVecsFromExternal
+    (IO.hpp:126/198/334) without the fixed-size preallocation.
+    """
+    elem_dtype = np.dtype(elem_dtype)
+    raw = np.fromfile(path, dtype=np.uint8)
+    if raw.size == 0:
+        return np.zeros((0, 0), dtype=elem_dtype)
+    dim = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+    if dim <= 0:
+        raise ValueError(f"{path}: bad leading dimension {dim}")
+    record_bytes = 4 + dim * elem_dtype.itemsize
+    if raw.size % record_bytes != 0:
+        raise ValueError(
+            f"{path}: size {raw.size} not a multiple of record size {record_bytes}"
+        )
+    n = raw.size // record_bytes
+    if max_rows is not None:
+        n = min(n, max_rows)
+        raw = raw[: n * record_bytes]
+    rec = raw.reshape(n, record_bytes)
+    # Sanity-check every record's dim header matches.
+    dims = rec[:, :4].copy().view(np.int32).reshape(-1)
+    if not np.all(dims == dim):
+        raise ValueError(f"{path}: inconsistent record dimensions")
+    body = rec[:, 4:].copy().view(elem_dtype)
+    return body.reshape(n, dim)
+
+
+def read_fvecs(path: str, max_rows: Optional[int] = None) -> np.ndarray:
+    return _read_vecs(path, np.float32, max_rows)
+
+
+def read_bvecs(path: str, max_rows: Optional[int] = None) -> np.ndarray:
+    return _read_vecs(path, np.uint8, max_rows)
+
+
+def read_ivecs(path: str, max_rows: Optional[int] = None) -> np.ndarray:
+    return _read_vecs(path, np.int32, max_rows)
+
+
+def write_fvecs(path: str, x: np.ndarray) -> None:
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n, d = x.shape
+    out = np.empty((n, 1 + d), dtype=np.float32)
+    out[:, 0] = np.frombuffer(
+        np.full(n, d, dtype=np.int32).tobytes(), dtype=np.float32
+    )
+    out[:, 1:] = x
+    out.tofile(path)
+
+
+def write_ivecs(path: str, x: np.ndarray) -> None:
+    x = np.ascontiguousarray(x, dtype=np.int32)
+    n, d = x.shape
+    out = np.empty((n, 1 + d), dtype=np.int32)
+    out[:, 0] = d
+    out[:, 1:] = x
+    out.tofile(path)
+
+
+# ---------------------------------------------------------------------------
+# Headerless binary / ascii (IO.hpp:235-289, 23-88)
+# ---------------------------------------------------------------------------
+
+def read_bin(path: str, dim: int, dtype=np.float32,
+             max_rows: Optional[int] = None) -> np.ndarray:
+    """Read a headerless binary file of `dim`-wide rows (IO.hpp:261)."""
+    dtype = np.dtype(dtype)
+    count = -1 if max_rows is None else max_rows * dim
+    arr = np.fromfile(path, dtype=dtype, count=count)
+    n = arr.size // dim
+    return arr[: n * dim].reshape(n, dim)
+
+
+def read_ascii(path: str, delimiter: Optional[str] = None,
+               max_rows: Optional[int] = None) -> np.ndarray:
+    """Read whitespace/CSV ascii vectors (IO.hpp:23-88)."""
+    arr = np.loadtxt(path, dtype=np.float32, delimiter=delimiter,
+                     max_rows=max_rows)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    return arr
+
+
+def read_dataset(path: str, dim: Optional[int] = None,
+                 max_rows: Optional[int] = None) -> np.ndarray:
+    """Dispatch on extension, as the demos do with their --ori-format flags."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".fvecs":
+        return read_fvecs(path, max_rows)
+    if ext == ".bvecs":
+        return read_bvecs(path, max_rows).astype(np.float32)
+    if ext == ".ivecs":
+        return read_ivecs(path, max_rows)
+    if ext in (".bin", ".fbin"):
+        if dim is None:
+            raise ValueError("dim required for headerless .bin files")
+        return read_bin(path, dim, max_rows=max_rows)
+    if ext in (".txt", ".csv", ".ascii"):
+        return read_ascii(path, "," if ext == ".csv" else None, max_rows)
+    raise ValueError(f"unknown dataset extension: {path}")
+
+
+def pad_dims(x: np.ndarray, multiple: int) -> np.ndarray:
+    """Zero-pad feature dims to a multiple (demo_vaq.cpp:66-72 does the same
+    so that d divides evenly into subspaces)."""
+    d = x.shape[1]
+    target = ((d + multiple - 1) // multiple) * multiple
+    if target == d:
+        return x
+    out = np.zeros((x.shape[0], target), dtype=x.dtype)
+    out[:, :d] = x
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Results + artifacts
+# ---------------------------------------------------------------------------
+
+def write_knn_results(path: str, labels: np.ndarray,
+                      distances: Optional[np.ndarray] = None) -> None:
+    """CSV answers, one query per line (IO.hpp:706-734)."""
+    with open(path, "w") as f:
+        for q in range(labels.shape[0]):
+            f.write(",".join(str(int(v)) for v in labels[q]))
+            f.write("\n")
+    if distances is not None:
+        base, ext = os.path.splitext(path)
+        with open(base + "_dists" + ext, "w") as f:
+            for q in range(distances.shape[0]):
+                f.write(",".join(f"{float(v):.6f}" for v in distances[q]))
+                f.write("\n")
+
+
+def save_index_npz(path: str, arrays: dict, meta: dict) -> None:
+    """Persist full index state (supersedes saveCentroids/saveCodebook,
+    IO.hpp:736-772, and adds the eigenvectors the reference forgets)."""
+    import json
+
+    payload = dict(arrays)
+    payload["__meta_json__"] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8
+    )
+    np.savez(path, **payload)
+
+
+def load_index_npz(path: str):
+    import json
+
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files if k != "__meta_json__"}
+        meta = json.loads(bytes(z["__meta_json__"].tobytes()).decode("utf-8"))
+    return arrays, meta

@@ -1,0 +1,75 @@
+"""Distance kernels as batched matmuls.
+
+Replaces the reference's scalar/SIMD distance suite
+(``utils/DistanceFunctions.hpp:17-263``, ``utils/Math.hpp:8-171`` —
+``fvec_L2sqr_ny``, ``euclideanDist*``, early-abandon variants): on TPU every
+L2 computation is the matmul identity ``‖q−x‖² = ‖q‖² − 2·q·xᵀ + ‖x‖²`` so
+the MXU does the work; early-abandon variants have no TPU counterpart
+(SURVEY §2.3 S2 — the exhaustive scan is the fast path).
+
+Also hosts the brute-force exact top-k search (the reference's queryNaive*
+family, ``BitVecEngine.cpp:574-720``), which doubles as the groundtruth
+generator (``demo_vaq_paramsearch.cpp:144-155``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pairwise_sq_dists(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(nq, d) × (n, d) → (nq, n) squared L2."""
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    xn = jnp.sum(x * x, axis=1)
+    d2 = qn - 2.0 * jnp.dot(q, x.T, preferred_element_type=jnp.float32) + xn[None, :]
+    return jnp.maximum(d2, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def exact_search(queries: jnp.ndarray, db: jnp.ndarray, k: int,
+                 block_rows: int = 131072) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact L2 top-k: blocked matmul + streaming top-k merge.
+
+    Returns (sq_dists (nq, k), labels (nq, k)).
+    """
+    n, d = db.shape
+    nq = queries.shape[0]
+    block_rows = min(block_rows, max(k, n))
+    pad = (-n) % block_rows
+    dbp = jnp.pad(db, ((0, pad), (0, 0)))
+    nblocks = dbp.shape[0] // block_rows
+    blocks = dbp.reshape(nblocks, block_rows, d)
+
+    qn = jnp.sum(queries * queries, axis=1, keepdims=True)
+
+    def body(carry, blk_and_idx):
+        best_d, best_i = carry
+        blk, bidx = blk_and_idx
+        xn = jnp.sum(blk * blk, axis=1)
+        d2 = qn - 2.0 * jnp.dot(queries, blk.T,
+                                preferred_element_type=jnp.float32) + xn[None, :]
+        ids = bidx * block_rows + jnp.arange(block_rows)
+        d2 = jnp.where(ids[None, :] < n, d2, jnp.inf)
+        cand_d = jnp.concatenate([best_d, d2], axis=1)
+        cand_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, (nq, block_rows))],
+                                 axis=1)
+        neg_top, top_pos = jax.lax.top_k(-cand_d, k)
+        new_i = jnp.take_along_axis(cand_i, top_pos, axis=1)
+        return (-neg_top, new_i), None
+
+    init = (jnp.full((nq, k), jnp.inf), jnp.full((nq, k), -1, dtype=jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(nblocks)))
+    return jnp.maximum(best_d, 0.0), best_i
+
+
+def compute_groundtruth(queries, db, k: int) -> np.ndarray:
+    """Brute-force groundtruth labels (host convenience wrapper)."""
+    _, labels = exact_search(jnp.asarray(queries, jnp.float32),
+                             jnp.asarray(db, jnp.float32), k)
+    return np.asarray(labels)

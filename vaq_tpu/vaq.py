@@ -1,0 +1,390 @@
+"""The VAQ index: train → encode → search → refine, TPU-first.
+
+This is the counterpart of the reference's ``VAQ`` class
+(``bitvecengine/VAQ.{hpp,cpp}``), re-architected for XLA:
+
+* arrays, not objects: the trained index is a handful of numpy/JAX arrays
+  (rotation, padded codebooks, codes) with static shapes;
+* batches, not per-query loops: ``search`` processes a whole query batch in
+  one jitted program (project → LUT einsum → blocked scan + top-k), where the
+  reference loops queries and rows (VAQ.cpp:786-846);
+* ragged subspaces (different 2^bits_i per subspace) are padded to 2^max_bits
+  with large sentinel centroids so argmin/LUT never select them — the
+  static-shape answer to the reference's per-subspace matrices.
+
+Stage mapping (reference file:line):
+  train               VAQ::train          VAQ.cpp:11-661
+  encode              VAQ::encode         VAQ.cpp:663-748
+  learn_quantization  VAQ::learnQuantization VAQ.cpp:1118-1187
+  search              VAQ::search         VAQ.cpp:776-847
+  refine              VAQ::refine         VAQ.cpp:849-876
+  cluster_ti          VAQ::clusterTI      VAQ.cpp:878-999 (see vaq_tpu.ivf)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaq_tpu import bitalloc, io, kmeans, pca
+from vaq_tpu.config import SearchMethod, VAQConfig
+from vaq_tpu.ops import scan_jax
+from vaq_tpu.rng import DEFAULT_SEED, sample_rows
+
+# Sentinel for padded codebook rows: large enough to never win an argmin,
+# small enough that its square stays finite in f32.
+PAD_SENTINEL = 1e18
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _encode_blocked(xp: jnp.ndarray, centroids: jnp.ndarray,
+                    block_rows: int = 8192) -> jnp.ndarray:
+    """Nearest-centroid codes for all rows, per subspace (V8).
+
+    xp: (n, M*L) projected rows; centroids: (M, C, L) padded.
+    Returns (n, M) int32 codes. The reference's triple loop with OpenMP
+    (encodeImpl, VAQ.cpp:728-748) becomes a blocked einsum + argmin.
+    """
+    n = xp.shape[0]
+    m, c, l = centroids.shape
+    pad = (-n) % block_rows
+    xpp = jnp.pad(xp, ((0, pad), (0, 0)))
+    blocks = xpp.reshape(-1, block_rows, m, l)
+    c2 = jnp.sum(centroids * centroids, axis=2)  # (M, C); sentinel rows ~1e36
+
+    def enc(blk):
+        # (nb, M, C) = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² constant in argmin, dropped.
+        xc = jnp.einsum("nml,mcl->nmc", blk, centroids,
+                        preferred_element_type=jnp.float32)
+        return jnp.argmin(c2[None] - 2.0 * xc, axis=2).astype(jnp.int32)
+
+    codes = jax.lax.map(enc, blocks)
+    return codes.reshape(-1, m)[:n]
+
+
+@dataclasses.dataclass
+class VAQIndex:
+    """A trained (or in-training) VAQ index."""
+
+    config: VAQConfig
+
+    # Rotation / truncation state (train).
+    eigvecs: Optional[np.ndarray] = None        # (d, d) f32
+    eigvals: Optional[np.ndarray] = None        # (d,) f32
+    var_per_subs: Optional[np.ndarray] = None   # (M,) f32
+    cum_var_per_subs: Optional[np.ndarray] = None
+    subs_len: int = 0                           # L
+    highest_subs: int = 0                       # M' = kept subspaces
+    orig_dim: int = 0                           # pre-padding feature dim
+
+    # Quantizer state.
+    bits: Optional[np.ndarray] = None           # (M,) int
+    centroids: Optional[np.ndarray] = None      # (M', Cmax, L) f32, padded
+    centroid_counts: Optional[np.ndarray] = None  # (M',) = 2^bits_i
+
+    # Encoded database.
+    codes: Optional[jnp.ndarray] = None         # (n, M') int on device
+    n_rows: int = 0
+
+    # LUT u8 quantization (V16).
+    lut_offsets: Optional[np.ndarray] = None    # (M',) f32
+    lut_scales: Optional[np.ndarray] = None     # (M',) f32
+
+    # Cluster-probe (TI analog) state, managed by vaq_tpu.ivf.
+    ivf: Optional[object] = None
+
+    # ------------------------------------------------------------------
+    # Derived properties
+    # ------------------------------------------------------------------
+    @property
+    def total_dim(self) -> int:
+        """Dims actually used for ADC = M' · L (VAQ.cpp:336)."""
+        return self.highest_subs * self.subs_len
+
+    @property
+    def padded_dim(self) -> int:
+        return self.config.subspace_num * self.subs_len
+
+    @property
+    def max_centroids(self) -> int:
+        return 1 << self.config.max_bits
+
+    # ------------------------------------------------------------------
+    # Train
+    # ------------------------------------------------------------------
+    def train(self, x_train: np.ndarray, verbose: bool = False) -> "VAQIndex":
+        """PCA rotation + variance balancing + bit allocation + codebooks."""
+        cfg = self.config
+        x_train = np.asarray(x_train, dtype=np.float32)
+        self.orig_dim = x_train.shape[1]
+        x_train = io.pad_dims(x_train, cfg.subspace_num)
+
+        t0 = time.perf_counter()
+        rot = pca.train_rotation(
+            x_train, cfg.subspace_num, cfg.percent_var_explained, cfg.seed
+        )
+        self.eigvecs = rot.eigvecs
+        self.eigvals = rot.eigvals
+        self.var_per_subs = rot.var_per_subs
+        self.cum_var_per_subs = rot.cum_var_per_subs
+        self.subs_len = rot.subs_len
+        self.highest_subs = rot.highest_subs
+        if verbose:
+            print(f"== PCA+rotation: {time.perf_counter() - t0:.3f}s "
+                  f"(kept {self.highest_subs}/{cfg.subspace_num} subspaces)")
+
+        # Bit allocation (V5) — exact ILP over the kept subspaces.
+        t0 = time.perf_counter()
+        if cfg.hardcoded_bits is not None:
+            bits = np.zeros(self.highest_subs, dtype=np.int64)
+            hc = np.asarray(cfg.hardcoded_bits[: self.highest_subs])
+            bits[: hc.shape[0]] = hc
+            bits = bitalloc.fixup_under_budget(bits, cfg.bit_budget, cfg.max_bits)
+        else:
+            bits = bitalloc.allocate_bits(
+                self.var_per_subs[: self.highest_subs],
+                cfg.bit_budget,
+                cfg.min_bits,
+                cfg.max_bits,
+                cum_var=self.cum_var_per_subs[: self.highest_subs],
+                percent_var_explained=cfg.percent_var_explained,
+            )
+        self.bits = bits
+        self.centroid_counts = (1 << bits).astype(np.int64)
+        if verbose:
+            print(f"== bit allocation: {list(bits)} "
+                  f"(sum={bits.sum()}, {time.perf_counter() - t0:.3f}s)")
+
+        # Per-subspace codebooks (V6/V7).
+        t0 = time.perf_counter()
+        xp = np.asarray(pca.project(x_train, self.eigvecs, self.total_dim))
+        m, l = self.highest_subs, self.subs_len
+        cmax = self.max_centroids
+        centroids = np.full((m, cmax, l), PAD_SENTINEL, dtype=np.float32)
+        standard_bits = 8
+        for s in range(m):
+            k = int(self.centroid_counts[s])
+            # Sample size rule from VAQ.cpp:535-537 (with correct sampling —
+            # the reference leaves the slice uninitialized when subsampling).
+            samp = max(k * 256, 256 * (1 << (cfg.bit_budget // cfg.subspace_num)))
+            sub = xp[:, s * l:(s + 1) * l]
+            sub_s = sample_rows(sub, min(samp, sub.shape[0]), cfg.seed + s)
+            if cfg.hierarchical_kmeans and bits[s] > standard_bits:
+                c = kmeans.hierarchical_fit(sub_s, int(bits[s]),
+                                            iters=cfg.kmeans_iters,
+                                            seed=cfg.seed + s)
+            elif cfg.binary_kmeans and bits[s] > standard_bits:
+                c = kmeans.binary_split_fit(sub_s, int(bits[s]),
+                                            iters=cfg.kmeans_iters,
+                                            seed=cfg.seed + s)
+            else:
+                c, _ = kmeans.fit(sub_s, k, iters=cfg.kmeans_iters,
+                                  seed=cfg.seed + s)
+            centroids[s, :k] = c
+        self.centroids = centroids
+        if verbose:
+            print(f"== codebooks: {time.perf_counter() - t0:.3f}s")
+        return self
+
+    # ------------------------------------------------------------------
+    # Encode
+    # ------------------------------------------------------------------
+    def encode(self, x: np.ndarray, verbose: bool = False) -> "VAQIndex":
+        x = io.pad_dims(np.asarray(x, dtype=np.float32), self.config.subspace_num)
+        t0 = time.perf_counter()
+        xp = pca.project(x, self.eigvecs, self.total_dim)
+        codes = _encode_blocked(xp, jnp.asarray(self.centroids))
+        # Narrow dtype: u8 when every subspace fits (saves HBM + bandwidth).
+        if int(self.bits.max()) <= 8:
+            codes = codes.astype(jnp.uint8)
+        elif int(self.bits.max()) <= 16:
+            codes = codes.astype(jnp.uint16)
+        self.codes = jax.block_until_ready(codes)
+        self.n_rows = x.shape[0]
+        if verbose:
+            print(f"== encode {x.shape[0]} rows: {time.perf_counter() - t0:.3f}s")
+        return self
+
+    # ------------------------------------------------------------------
+    # LUT quantization (V16)
+    # ------------------------------------------------------------------
+    def learn_quantization(self, x_train: np.ndarray,
+                           sample_ratio: float = 0.1) -> "VAQIndex":
+        """Learn per-subspace u8 LUT offset/scale by α-grid search
+        (reference VAQ.cpp:1118-1187)."""
+        x_train = io.pad_dims(np.asarray(x_train, dtype=np.float32),
+                              self.config.subspace_num)
+        n = x_train.shape[0]
+        sample_n = max(1, int(sample_ratio * n))
+        qs = sample_rows(x_train, sample_n, self.config.seed)
+        qp = np.asarray(pca.project(qs, self.eigvecs, self.total_dim))
+        luts = np.asarray(scan_jax.build_luts(jnp.asarray(qp),
+                                              jnp.asarray(self.centroids)))
+        # Mask padded centroid entries out of the statistics (the reference
+        # instead reads uninitialized LUT rows there — we fix that).
+        m = self.highest_subs
+        valid = (np.arange(self.max_centroids)[None, :]
+                 < self.centroid_counts[:, None])           # (M', Cmax)
+        best_loss = np.inf
+        best = None
+        for alpha in (0.001, 0.002, 0.005, 0.01, 0.02, 0.05, 0.1):
+            offsets = np.empty(m, dtype=np.float32)
+            ceils = np.empty(m, dtype=np.float32)
+            for s in range(m):
+                col = luts[:, s, valid[s]].reshape(-1)
+                offsets[s] = np.quantile(col, alpha)
+                ceils[s] = np.quantile(np.maximum(col - offsets[s], 0.0),
+                                       1.0 - alpha)
+            scales = 255.0 / np.maximum(ceils, 1e-30)
+            # Reconstruction loss of the quantizer on the sampled LUTs.
+            off_l = np.maximum(luts - offsets[None, :, None], 0.0)
+            q = np.minimum(np.floor(off_l * scales[None, :, None]), 255.0)
+            err = (off_l * scales[None, :, None] - q) * valid[None, :, :]
+            loss = float(np.sum(err * err))
+            if loss <= best_loss:
+                best_loss = loss
+                best = (offsets, scales)
+        self.lut_offsets, self.lut_scales = best
+        return self
+
+    # ------------------------------------------------------------------
+    # Search
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        query_batch: int = 512,
+        block_rows: int = 32768,
+        verbose: bool = False,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """ADC top-k search for a query batch.
+
+        Returns (sq_dists (nq, k), labels (nq, k)). The scan strategy flags
+        (SORT/HEAP/EA) all map to the same exhaustive blocked scan — on TPU it
+        is the fast path; TI maps to the IVF cluster-probe when built.
+        """
+        cfg = self.config
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.shape[1] > self.eigvecs.shape[0] or \
+                (self.orig_dim and queries.shape[1] != self.orig_dim):
+            raise ValueError(
+                f"query dim {queries.shape[1]} does not match index dim "
+                f"{self.orig_dim}")
+        queries = io.pad_dims(queries, cfg.subspace_num)
+        nq = queries.shape[0]
+        all_d = np.empty((nq, k), dtype=np.float32)
+        all_i = np.empty((nq, k), dtype=np.int32)
+        use_quant = bool(cfg.methods & (SearchMethod.FAST | SearchMethod.FAST2
+                                        | SearchMethod.FAST3)) and \
+            self.lut_offsets is not None
+
+        t0 = time.perf_counter()
+        for start in range(0, nq, query_batch):
+            qb = queries[start:start + query_batch]
+            qp = pca.project(qb, self.eigvecs, self.total_dim)
+            luts = scan_jax.build_luts(qp, jnp.asarray(self.centroids))
+            if use_quant:
+                # Reproduce the FAST-path accuracy: quantize to u8 then
+                # dequantize, injecting the same rounding error as the
+                # reference's shuffle scan (VAQ.cpp:1778-1836, 1973-2043).
+                lut8 = scan_jax.quantize_luts(
+                    luts, jnp.asarray(self.lut_offsets),
+                    jnp.asarray(self.lut_scales))
+                luts = (lut8.astype(jnp.float32)
+                        / jnp.asarray(self.lut_scales)[None, :, None]
+                        + jnp.asarray(self.lut_offsets)[None, :, None])
+            if (cfg.methods & SearchMethod.TI) and self.ivf is not None:
+                d, i = self.ivf.search(self, qp, luts, k)
+            else:
+                d, i = scan_jax.adc_scan_topk(self.codes, luts, k,
+                                              n_valid=jnp.int32(self.n_rows),
+                                              block_rows=block_rows)
+            all_d[start:start + qb.shape[0]] = np.asarray(d)
+            all_i[start:start + qb.shape[0]] = np.asarray(i)
+        if verbose:
+            dt = time.perf_counter() - t0
+            print(f"== search {nq} queries: {dt:.3f}s ({nq / dt:.1f} QPS)")
+        return all_d, all_i
+
+    # ------------------------------------------------------------------
+    # Refine (V17)
+    # ------------------------------------------------------------------
+    def refine(self, queries: np.ndarray, labels: np.ndarray,
+               x_original: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact rerank of the R candidates per query against the original
+        vectors (reference VAQ::refine, VAQ.cpp:849-876)."""
+        queries = np.asarray(queries, dtype=np.float32)
+        x_original = np.asarray(x_original, dtype=np.float32)
+        labels = np.asarray(labels)
+        safe = np.maximum(labels, 0)
+        cands = jnp.asarray(x_original[safe])               # (nq, R, d)
+        d, i = scan_jax.refine_topk(
+            jnp.asarray(queries[:, : x_original.shape[1]]), cands,
+            jnp.asarray(labels.astype(np.int32)), k)
+        return np.asarray(d), np.asarray(i)
+
+    # ------------------------------------------------------------------
+    # Persistence — full state (fixes the reference's eigvec gap, SURVEY §5)
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        arrays = {
+            "eigvecs": self.eigvecs,
+            "eigvals": self.eigvals,
+            "var_per_subs": self.var_per_subs,
+            "cum_var_per_subs": self.cum_var_per_subs,
+            "bits": self.bits,
+            "centroids": self.centroids,
+            "centroid_counts": self.centroid_counts,
+        }
+        if self.codes is not None:
+            arrays["codes"] = np.asarray(self.codes)
+        if self.lut_offsets is not None:
+            arrays["lut_offsets"] = self.lut_offsets
+            arrays["lut_scales"] = self.lut_scales
+        meta = {
+            "config": {
+                **{k: v for k, v in dataclasses.asdict(self.config).items()
+                   if k != "methods" and k != "hardcoded_bits"},
+                "methods": int(self.config.methods),
+                "hardcoded_bits": list(self.config.hardcoded_bits)
+                if self.config.hardcoded_bits else None,
+            },
+            "subs_len": self.subs_len,
+            "highest_subs": self.highest_subs,
+            "orig_dim": self.orig_dim,
+            "n_rows": self.n_rows,
+        }
+        io.save_index_npz(path, arrays, meta)
+
+    @classmethod
+    def load(cls, path: str) -> "VAQIndex":
+        arrays, meta = io.load_index_npz(path)
+        cfg_d = dict(meta["config"])
+        cfg_d["methods"] = SearchMethod(cfg_d["methods"])
+        if cfg_d.get("hardcoded_bits"):
+            cfg_d["hardcoded_bits"] = tuple(cfg_d["hardcoded_bits"])
+        idx = cls(config=VAQConfig(**cfg_d))
+        idx.eigvecs = arrays["eigvecs"]
+        idx.eigvals = arrays["eigvals"]
+        idx.var_per_subs = arrays["var_per_subs"]
+        idx.cum_var_per_subs = arrays["cum_var_per_subs"]
+        idx.bits = arrays["bits"]
+        idx.centroids = arrays["centroids"]
+        idx.centroid_counts = arrays["centroid_counts"]
+        idx.subs_len = meta["subs_len"]
+        idx.highest_subs = meta["highest_subs"]
+        idx.orig_dim = meta["orig_dim"]
+        idx.n_rows = meta["n_rows"]
+        if "codes" in arrays:
+            idx.codes = jnp.asarray(arrays["codes"])
+        if "lut_offsets" in arrays:
+            idx.lut_offsets = arrays["lut_offsets"]
+            idx.lut_scales = arrays["lut_scales"]
+        return idx
