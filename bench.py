@@ -1,0 +1,128 @@
+"""Benchmark driver: SIFT1M-scale ADC search QPS/chip at measured recall.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": ...,
+   "recall_at_10": ..., ...}
+
+Setup mirrors the reference's headline configuration (SIFT1M ADC,
+``ExperimentsParameters.txt:51-55`` / BASELINE.md): 1M × 128-d vectors,
+256-bit budget over 32 subspaces. The reference repo publishes no measured
+numbers (BASELINE.json "published": {}), so ``vs_baseline`` is the ratio
+against the measured reference C++ throughput when available in
+``baseline_measured.json``, else 1.0.
+
+All progress goes to stderr; stdout carries exactly the one JSON line.
+The built index is cached under .bench_cache/ so repeat runs skip training.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=1_000_000)
+    p.add_argument("--d", type=int, default=128)
+    p.add_argument("--queries", type=int, default=1024)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--config", default="VAQ256m32min7max8var1,HEAP")
+    p.add_argument("--batch", type=int, default=256,
+                   help="query batch size for the timed runs")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--no-cache", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import vaq_tpu
+    from vaq_tpu import metrics
+    from vaq_tpu.data import make_anisotropic_gaussian
+    from vaq_tpu.ops.distances import exact_search
+
+    log(f"devices: {jax.devices()}")
+
+    rng_tag = f"n{args.n}_d{args.d}_{args.config.replace(',', '_')}"
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir, rng_tag + ".npz")
+
+    t0 = time.perf_counter()
+    base, queries = make_anisotropic_gaussian(
+        args.n, args.d, args.queries, seed=42)
+    log(f"data gen: {time.perf_counter() - t0:.1f}s")
+
+    cfg = vaq_tpu.parse_method_string(args.config)
+    build_s = None
+    if os.path.exists(cache) and not args.no_cache:
+        idx = vaq_tpu.VAQIndex.load(cache)
+        log(f"loaded cached index {cache}")
+    else:
+        t0 = time.perf_counter()
+        idx = vaq_tpu.VAQIndex(cfg).train(base, verbose=True).encode(
+            base, verbose=True)
+        build_s = time.perf_counter() - t0
+        log(f"build: {build_s:.1f}s")
+        idx.save(cache)
+
+    # Groundtruth on the TPU (exact search over the full base).
+    t0 = time.perf_counter()
+    gt_d, gt = exact_search(jnp.asarray(queries), jnp.asarray(base), 100)
+    gt = np.asarray(gt)
+    log(f"groundtruth: {time.perf_counter() - t0:.1f}s")
+
+    # Recall measurement (full query set, one pass).
+    d, labels = idx.search(queries, 100, query_batch=args.batch)
+    recall10 = metrics.avg_recall(labels[:, :10], gt, args.k)
+    recall100 = metrics.avg_recall(labels, gt, 100)
+    log(f"recall@10={recall10:.4f} recall@100={recall100:.4f}")
+
+    # Timed steady-state QPS: repeat the search over the query set.
+    qb = queries[: args.batch]
+    idx.search(qb, args.k, query_batch=args.batch)  # warm/compile
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        idx.search(qb, args.k, query_batch=args.batch)
+    dt = time.perf_counter() - t0
+    qps = args.batch * args.iters / dt
+    p50 = dt / args.iters / args.batch * 1000.0  # ms per query amortized
+    log(f"QPS={qps:.1f}  batch latency={dt / args.iters * 1000:.2f}ms")
+
+    vs_baseline = 1.0
+    bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "baseline_measured.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            bl = json.load(f)
+        ref_qps = bl.get("reference_qps")
+        if ref_qps:
+            vs_baseline = qps / ref_qps
+
+    out = {
+        "metric": "ADC search QPS/chip (1M x 128d, 256-bit VAQ)",
+        "value": round(qps, 1),
+        "unit": "qps",
+        "vs_baseline": round(vs_baseline, 3),
+        "recall_at_10": round(recall10, 4),
+        "recall_at_100": round(recall100, 4),
+        "batch_latency_ms": round(dt / args.iters * 1000, 2),
+        "n": args.n,
+        "config": args.config,
+    }
+    if build_s is not None:
+        out["build_s"] = round(build_s, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Shard-count invariance: N-device results must equal single-device results
+(the TPU analog of the reference's parallel-equivalence test,
+test-bitvecengine.cpp:103-113; SURVEY §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaq_tpu.ops import scan_jax
+from vaq_tpu.ops.distances import exact_search
+from vaq_tpu.parallel import (make_mesh, shard_codes, sharded_adc_search,
+                              sharded_exact_search)
+from vaq_tpu.parallel.dist_kmeans import lloyd_sharded, shard_rows_for
+from vaq_tpu import kmeans
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    return make_mesh()
+
+
+@pytest.fixture(scope="module")
+def mesh_2x4():
+    return make_mesh((2, 4), ("q", "db"))
+
+
+def test_sharded_adc_matches_single(mesh8):
+    rng = np.random.default_rng(0)
+    n, m, c, nq, k = 1000, 8, 16, 6, 10
+    codes = jnp.asarray(rng.integers(0, c, size=(n, m)).astype(np.int32))
+    luts = jnp.asarray(rng.random((nq, m, c)).astype(np.float32))
+
+    d_ref, i_ref = scan_jax.adc_scan_topk(codes, luts, k)
+
+    codes_sh = shard_codes(codes, mesh8)
+    d, i = sharded_adc_search(codes_sh, luts, k, jnp.int32(n), mesh8,
+                              block_rows=64)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-6)
+    # ids may differ only on exact distance ties
+    ref_full = np.zeros((nq, n))
+    for q in range(nq):
+        for s in range(m):
+            ref_full[q] += np.asarray(luts)[q, s][np.asarray(codes)[:, s]]
+    got = np.take_along_axis(ref_full, np.asarray(i), axis=1)
+    np.testing.assert_allclose(got, np.asarray(d), rtol=1e-5)
+
+
+def test_sharded_adc_q_and_db_axes(mesh_2x4):
+    rng = np.random.default_rng(1)
+    n, m, c, nq, k = 512, 4, 8, 8, 5
+    codes = jnp.asarray(rng.integers(0, c, size=(n, m)).astype(np.int32))
+    luts = jnp.asarray(rng.random((nq, m, c)).astype(np.float32))
+
+    d_ref, _ = scan_jax.adc_scan_topk(codes, luts, k)
+    codes_sh = shard_codes(codes, mesh_2x4)
+    d, i = sharded_adc_search(codes_sh, luts, k, jnp.int32(n), mesh_2x4,
+                              block_rows=32, q_axis="q")
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-6)
+
+
+def test_sharded_adc_unpadded_rows(mesh8):
+    """n not divisible by shard count: padding rows must never appear."""
+    rng = np.random.default_rng(2)
+    n, m, c, nq, k = 997, 4, 8, 3, 20
+    codes = jnp.asarray(rng.integers(0, c, size=(n, m)).astype(np.int32))
+    luts = jnp.asarray(rng.random((nq, m, c)).astype(np.float32))
+    d_ref, _ = scan_jax.adc_scan_topk(codes, luts, k)
+    codes_sh = shard_codes(codes, mesh8)
+    d, i = sharded_adc_search(codes_sh, luts, k, jnp.int32(n), mesh8,
+                              block_rows=32)
+    assert np.asarray(i).max() < n
+    assert np.asarray(i).min() >= 0
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-6)
+
+
+def test_sharded_exact_matches_single(mesh8):
+    rng = np.random.default_rng(3)
+    db = rng.standard_normal((500, 16)).astype(np.float32)
+    q = rng.standard_normal((4, 16)).astype(np.float32)
+    d_ref, i_ref = exact_search(jnp.asarray(q), jnp.asarray(db), 7)
+    db_sh = shard_rows_for(mesh8, jnp.asarray(db))
+    d, i = sharded_exact_search(db_sh, jnp.asarray(q), 7, jnp.int32(500), mesh8)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_sharded_kmeans_matches_single_device(mesh8):
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((640, 8)).astype(np.float32)
+    c0 = kmeans.init_subset(x, 16, seed=5)
+
+    ref = np.asarray(kmeans.lloyd(jnp.asarray(x), jnp.asarray(c0), iters=5))
+    x_sh = shard_rows_for(mesh8, jnp.asarray(x))
+    got = np.asarray(lloyd_sharded(x_sh, jnp.asarray(c0), jnp.int32(640),
+                                   5, mesh8))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

@@ -1,0 +1,152 @@
+"""Sharded search: per-shard top-k → all-gather → global top-k.
+
+TPU re-design of the reference's disk-resident chunked scan
+(``BitVecEngine.cpp:1441-1624``): there, file chunks are scanned with
+per-chunk top-k and merged into global answers by concatenate+sort+resize
+(merge at cpp:1599-1611), with ids offset by the chunk base (cpp:1488). Here
+the "chunks" are mesh shards of the encoded code rows, the per-chunk top-k is
+the on-device blocked scan, and the merge is a k-row ``all_gather`` over the
+"db" mesh axis followed by a final ``top_k`` — the only cross-device data in
+the hot path is k·(dist,id) per shard, so scaling is near-linear (SURVEY §5).
+
+Queries can additionally be sharded over a "q" axis (data parallel over the
+query stream); results come back sharded the same way.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from vaq_tpu.ops import scan_jax
+from vaq_tpu.ops.distances import pairwise_sq_dists
+
+
+def shard_codes(codes: jnp.ndarray, mesh: Mesh, axis: str = "db") -> jnp.ndarray:
+    """Place code rows row-sharded over the mesh's db axis (zero-pads to a
+    multiple of the axis size)."""
+    n = codes.shape[0]
+    nshards = mesh.shape[axis]
+    pad = (-n) % nshards
+    if pad:
+        codes = jnp.pad(codes, ((0, pad), (0, 0)))
+    spec = P(axis, *([None] * (codes.ndim - 1)))
+    return jax.device_put(codes, NamedSharding(mesh, spec))
+
+
+def _local_topk_merge(local_d, local_i, k, db_axis):
+    """All-gather each shard's top-k and reduce to the global top-k."""
+    gat_d = jax.lax.all_gather(local_d, db_axis, axis=1, tiled=True)
+    gat_i = jax.lax.all_gather(local_i, db_axis, axis=1, tiled=True)
+    neg_top, pos = jax.lax.top_k(-gat_d, k)
+    return -neg_top, jnp.take_along_axis(gat_i, pos, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "mesh", "block_rows", "q_axis", "db_axis"),
+)
+def sharded_adc_search(
+    codes: jnp.ndarray,
+    luts: jnp.ndarray,
+    k: int,
+    n_total: jnp.ndarray,
+    mesh: Mesh,
+    block_rows: int = 32768,
+    q_axis: Optional[str] = None,
+    db_axis: str = "db",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ADC scan over row-sharded codes with replicated (or q-sharded) LUTs.
+
+    Args:
+      codes: (n_pad, M) sharded P(db_axis, None); n_pad divisible by #shards.
+      luts: (nq, M, C) float32; replicated, or sharded P(q_axis, ...) when
+        q_axis is given.
+      k: neighbors per query.
+      n_total: scalar — true row count (padding rows past it are masked).
+      mesh: the device mesh.
+
+    Returns:
+      (sq_dists, labels) of shape (nq, k); global ids. Replicated over the db
+      axis, sharded over q_axis if given.
+    """
+    n_pad = codes.shape[0]
+    nshards = mesh.shape[db_axis]
+    shard_rows = n_pad // nshards
+
+    lut_spec = P(q_axis, None, None) if q_axis else P(None, None, None)
+    out_spec = (P(q_axis, None) if q_axis else P(None, None),) * 2
+
+    def local(codes_l, luts_l, n_total_l):
+        sidx = jax.lax.axis_index(db_axis)
+        base = sidx * shard_rows
+        n_valid_local = jnp.clip(n_total_l - base, 0, shard_rows)
+        d, i = scan_jax.adc_scan_topk(
+            codes_l, luts_l, k, n_valid=n_valid_local.astype(jnp.int32),
+            block_rows=min(block_rows, shard_rows),
+        )
+        gi = jnp.where(i >= 0, i + base, -1)
+        return _local_topk_merge(d, gi, k, db_axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(db_axis, None), lut_spec, P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )(codes, luts, n_total)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "mesh", "block_rows", "q_axis", "db_axis"),
+)
+def sharded_exact_search(
+    db: jnp.ndarray,
+    queries: jnp.ndarray,
+    k: int,
+    n_total: jnp.ndarray,
+    mesh: Mesh,
+    block_rows: int = 131072,
+    q_axis: Optional[str] = None,
+    db_axis: str = "db",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Brute-force L2 top-k over row-sharded original vectors — the sharded
+    groundtruth generator / rerank backend (reference queryNaiveParallel
+    with the disk-resident merge, BitVecEngine.cpp:1441-1624)."""
+    n_pad = db.shape[0]
+    nshards = mesh.shape[db_axis]
+    shard_rows = n_pad // nshards
+
+    q_spec = P(q_axis, None) if q_axis else P(None, None)
+    out_spec = (P(q_axis, None) if q_axis else P(None, None),) * 2
+
+    def local(db_l, q_l, n_total_l):
+        sidx = jax.lax.axis_index(db_axis)
+        base = sidx * shard_rows
+        d2 = pairwise_sq_dists(q_l, db_l)
+        ids = base + jnp.arange(shard_rows, dtype=jnp.int32)
+        d2 = jnp.where(ids[None, :] < n_total_l, d2, jnp.inf)
+        kk = min(k, shard_rows)
+        neg_top, pos = jax.lax.top_k(-d2, kk)
+        local_d, local_i = -neg_top, ids[pos]
+        if kk < k:  # pad so the gather shape is k per shard
+            padw = k - kk
+            local_d = jnp.pad(local_d, ((0, 0), (0, padw)),
+                              constant_values=jnp.inf)
+            local_i = jnp.pad(local_i, ((0, 0), (0, padw)),
+                              constant_values=-1)
+        return _local_topk_merge(local_d, local_i, k, db_axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(db_axis, None), q_spec, P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )(db, queries, n_total)
