@@ -87,16 +87,31 @@ def main():
     recall100 = metrics.avg_recall(labels, gt, 100)
     log(f"recall@10={recall10:.4f} recall@100={recall100:.4f}")
 
-    # Timed steady-state QPS: repeat the search over the query set.
-    qb = queries[: args.batch]
-    idx.search(qb, args.k, query_batch=args.batch)  # warm/compile
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        idx.search(qb, args.k, query_batch=args.batch)
-    dt = time.perf_counter() - t0
-    qps = args.batch * args.iters / dt
-    p50 = dt / args.iters / args.batch * 1000.0  # ms per query amortized
-    log(f"QPS={qps:.1f}  batch latency={dt / args.iters * 1000:.2f}ms")
+    # Timed steady-state QPS, chained methodology: each iteration's query
+    # batch depends on the previous result so the device cannot reorder or
+    # elide work, and a single tiny scalar fetch at the end drains the chain.
+    # (block_until_ready is unreliable through this harness's device tunnel,
+    # and per-iteration fetches add ~30 ms tunnel latency that is not chip
+    # time.) Marginal cost = (T(iters) - T(1)) / (iters - 1).
+    qb_dev = jnp.asarray(queries[: args.batch])
+
+    def chain(iters):
+        q = qb_dev
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dd, ii = idx.search_device(q, args.k)
+            s = (jnp.sum(dd) + jnp.sum(ii)).astype(jnp.float32)
+            q = qb_dev + s * 1e-30
+        float(jnp.sum(q))  # one tiny fetch drains everything
+        return time.perf_counter() - t0
+
+    chain(1)  # warm/compile
+    t1 = min(chain(1) for _ in range(3))
+    tn = min(chain(args.iters) for _ in range(3))
+    batch_ms = (tn - t1) / (args.iters - 1) * 1000.0
+    qps = args.batch / (batch_ms / 1000.0)
+    log(f"QPS={qps:.1f}  batch latency={batch_ms:.3f}ms (chained marginal)")
+    p50_batch_ms = batch_ms
 
     vs_baseline = 1.0
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -115,7 +130,8 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "recall_at_10": round(recall10, 4),
         "recall_at_100": round(recall100, 4),
-        "batch_latency_ms": round(dt / args.iters * 1000, 2),
+        "batch_latency_ms": round(dt / args.iters * 1000, 3),
+        "p50_batch_latency_ms": round(p50_batch_ms, 3),
         "n": args.n,
         "config": args.config,
     }

@@ -1,0 +1,126 @@
+"""Binary/Hamming engine tests (reference test-distancefunction.cpp +
+test-bitvecengine.cpp analogs, plus the B3 encoding pipeline)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vaq_tpu import metrics
+from vaq_tpu.binary import (BinaryIndex, hamming_topk_matmul,
+                            hamming_topk_packed, pack_codes, unpack_bits_01)
+
+
+def test_pack_roundtrip_simple():
+    bits = np.array([4, 4, 8, 2, 6])   # 24 bits → 1 word
+    rng = np.random.default_rng(0)
+    buckets = np.stack([rng.integers(0, 1 << b, size=10) for b in bits], axis=1)
+    packed = pack_codes(buckets, bits)
+    assert packed.shape == (10, 1)
+    unpacked = unpack_bits_01(packed, int(bits.sum()))
+    # reconstruct buckets from the bit rows
+    pos = np.concatenate([[0], np.cumsum(bits)])
+    for j, b in enumerate(bits):
+        vals = unpacked[:, pos[j]:pos[j + 1]]
+        rec = (vals * (1 << np.arange(b - 1, -1, -1))).sum(axis=1)
+        np.testing.assert_array_equal(rec, buckets[:, j])
+
+
+def test_pack_word_straddle():
+    # 3 dims of 12 bits: dim 1 straddles the 32-bit word boundary.
+    bits = np.array([12, 12, 12])
+    rng = np.random.default_rng(1)
+    buckets = np.stack([rng.integers(0, 1 << 12, size=50) for _ in bits], axis=1)
+    packed = pack_codes(buckets, bits)
+    assert packed.shape == (50, 2)
+    unpacked = unpack_bits_01(packed, 36)
+    pos = [0, 12, 24, 36]
+    for j in range(3):
+        vals = unpacked[:, pos[j]:pos[j + 1]]
+        rec = (vals * (1 << np.arange(11, -1, -1))).sum(axis=1)
+        np.testing.assert_array_equal(rec, buckets[:, j])
+
+
+def test_hamming_golden():
+    """Exhaustive small-width Hamming cases (test-distancefunction.cpp:11-63)."""
+    a = np.array([[0b1011], [0b0000]], dtype=np.uint32)
+    b = np.array([[0b0011], [0b1111]], dtype=np.uint32)
+    d, i = hamming_topk_packed(jnp.asarray(b), jnp.asarray(a), 2)
+    # query 0 = 0b1011: vs 0b0011 → 1, vs 0b1111 → 1
+    assert sorted(np.asarray(d)[0].tolist()) == [1, 1]
+    # query 1 = 0: vs 0b0011 → 2, vs 0b1111 → 4
+    assert np.asarray(d)[1].tolist() == [2, 4]
+    # symmetry
+    d2, _ = hamming_topk_packed(jnp.asarray(a), jnp.asarray(b), 2)
+    assert sorted(np.asarray(d2).reshape(-1).tolist()) == \
+        sorted(np.asarray(d).reshape(-1).tolist())
+
+
+def test_packed_vs_matmul_backend():
+    rng = np.random.default_rng(2)
+    n, w, nq, k = 500, 4, 8, 20
+    db = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    q = rng.integers(0, 2**32, size=(nq, w), dtype=np.uint32)
+    d1, i1 = hamming_topk_packed(jnp.asarray(db), jnp.asarray(q), k)
+    db01 = unpack_bits_01(db, w * 32)
+    q01 = unpack_bits_01(q, w * 32)
+    d2, i2 = hamming_topk_matmul(jnp.asarray(db01),
+                                 jnp.asarray(db01.sum(1).astype(np.int32)),
+                                 jnp.asarray(q01), k, exact=True)
+    np.testing.assert_array_equal(np.sort(np.asarray(d1), axis=1),
+                                  np.sort(np.asarray(d2), axis=1))
+
+
+@pytest.fixture(scope="module")
+def bin_index(sift_like):
+    base, queries, gt = sift_like
+    idx = BinaryIndex(bit_budget=256).train(base).encode(base)
+    return idx, base, queries, gt
+
+
+def test_binary_train_state(bin_index):
+    idx, base, _, _ = bin_index
+    assert idx.bits.sum() == 256
+    assert idx.bits.max() <= 8
+    assert idx.packed.shape == (base.shape[0], 8)   # 256 bits = 8 words
+
+
+def test_binary_recall(bin_index):
+    idx, _, queries, gt = bin_index
+    _, labels = idx.query(queries, 100)
+    rec = metrics.avg_recall(labels, gt, 100)
+    assert rec > 0.3, rec   # binary-only recall floor
+
+
+def test_binary_rerank_improves(bin_index):
+    idx, base, queries, gt = bin_index
+    _, labels = idx.query(queries, 10)
+    r_plain = metrics.avg_recall(labels, gt, 10)
+    _, labels_rr = idx.query_rerank(queries, base, 10, factor=20)
+    r_rr = metrics.avg_recall(labels_rr, gt, 10)
+    assert r_rr >= r_plain
+    assert r_rr > 0.8, r_rr
+
+
+def test_binary_backends_agree(bin_index):
+    idx, _, queries, gt = bin_index
+    _, l1 = idx.query(queries, 30, backend="packed")
+    _, l2 = idx.query(queries, 30, backend="matmul")
+    r1 = metrics.avg_recall(l1, gt, 30)
+    r2 = metrics.avg_recall(l2, gt, 30)
+    assert abs(r1 - r2) < 0.02
+
+
+def test_binary_save_load(tmp_path, bin_index):
+    idx, _, queries, _ = bin_index
+    p = str(tmp_path / "bin.npz")
+    idx.save(p)
+    idx2 = BinaryIndex.load(p)
+    _, l1 = idx.query(queries[:8], 5, backend="packed")
+    _, l2 = idx2.query(queries[:8], 5, backend="packed")
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_query_naive_is_exact(bin_index):
+    idx, base, queries, gt = bin_index
+    _, labels = idx.query_naive(queries, base, 10)
+    assert metrics.avg_recall(labels, gt, 10) == 1.0

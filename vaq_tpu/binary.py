@@ -1,0 +1,393 @@
+"""Binary/Hamming bit-vector engine — the BitVecEngine counterpart.
+
+Re-designs the reference's ``bitvecengine/BitVecEngine.{hpp,cpp}`` +
+``BitVector.hpp`` for TPU:
+
+* **Representation** (B1): packed bits in uint32 lanes (TPU's native int
+  width) instead of ``vector<uint64_t>``; bit j of the budget lives in word
+  j//32 at MSB-first offset, preserving the reference's MSB-first layout
+  semantics (``encodeToBinary``, BitVecEngine.hpp:564-588).
+* **Scalar quantizer** (B3): PCA (uncentered XᵀX, no balancing swap here —
+  hpp:278-299) → per-*dimension* bit allocation by the same ILP family as
+  VAQ but with ub 8, lb 1 while cumvar ≤ 0.99 · uniform-allocation variance,
+  and the ratio cap k>10→0 (hpp:339-507; solved exactly by
+  `vaq_tpu.bitalloc`, replacing the GLPK simplex + trunc/round-up) →
+  matlab-style quantile bucket boundaries (hpp:509-561) → bucket index
+  packed into the bitstring.
+* **Hamming search** (B5): two backends mirroring the VAQ engine's split:
+  - packed: XOR + ``lax.population_count`` + lane-sum (the
+    ``hammingDist`` scan, DistanceFunctions.hpp:164-182);
+  - matmul: codes unpacked once to an int8 0/1 matrix; then
+    ``hamming(q,x) = pop(q) + pop(x) − 2·(q01 · x01ᵀ)`` runs on the MXU —
+    the throughput path (same decoded-vs-packed trade as scan_decoded).
+* **Rerank** (B7): binary top-(factor·k) then exact L2 (`refineAnswer`).
+* **Cluster probing** (B6) reuses `vaq_tpu.ivf`-style probing; progressive
+  sub-vector filtering (B10) is provided in its Sort variant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vaq_tpu import bitalloc, io
+from vaq_tpu.ops.distances import exact_search
+from vaq_tpu.ops.scan_jax import refine_topk
+from vaq_tpu.rng import DEFAULT_SEED, sample_rows
+
+WORD = 32
+
+
+# ---------------------------------------------------------------------------
+# Bit packing (B1)
+# ---------------------------------------------------------------------------
+
+def pack_codes(buckets: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """Pack per-dim bucket indices into uint32 words, MSB-first.
+
+    buckets: (n, d) ints with buckets[:, j] < 2^bits[j]; bits: (d,).
+    Returns (n, ceil(sum(bits)/32)) uint32.
+    """
+    bits = np.asarray(bits, dtype=np.int64)
+    total = int(bits.sum())
+    nwords = (total + WORD - 1) // WORD
+    n = buckets.shape[0]
+    out = np.zeros((n, nwords), dtype=np.uint64)  # u64 scratch avoids UB
+    pos = np.concatenate([[0], np.cumsum(bits)])
+    for j in range(buckets.shape[1]):
+        b = int(bits[j])
+        if b == 0:
+            continue
+        start = int(pos[j])
+        val = buckets[:, j].astype(np.uint64)
+        w0, w1 = start // WORD, (start + b - 1) // WORD
+        if w0 == w1:
+            shift = WORD - (start % WORD) - b
+            out[:, w0] |= val << np.uint64(shift)
+        else:  # straddles a word boundary (hpp:573-578)
+            right = b - ((w0 + 1) * WORD - start)
+            out[:, w0] |= val >> np.uint64(right)
+            out[:, w1] |= (val & np.uint64((1 << right) - 1)) << np.uint64(
+                WORD - right)
+        out[:, w0] &= np.uint64(0xFFFFFFFF)
+        if w1 < nwords:
+            out[:, w1] &= np.uint64(0xFFFFFFFF)
+    return out.astype(np.uint32)
+
+
+def unpack_bits_01(packed: np.ndarray, total_bits: int) -> np.ndarray:
+    """(n, W) uint32 → (n, total_bits) int8 0/1 matrix (MSB-first order)."""
+    n, w = packed.shape
+    shifts = np.arange(WORD - 1, -1, -1, dtype=np.uint32)
+    bits = ((packed[:, :, None] >> shifts[None, None, :]) & 1).astype(np.int8)
+    return bits.reshape(n, w * WORD)[:, :total_bits]
+
+
+# ---------------------------------------------------------------------------
+# Hamming scans (B5)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def hamming_topk_packed(
+    db: jnp.ndarray,        # (n, W) uint32
+    queries: jnp.ndarray,   # (nq, W) uint32
+    k: int,
+    exact: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XOR + popcount + lane-sum + top-k (reference query_sort/query_heap,
+    BitVecEngine.cpp:61-197 — all four method variants produce the same set;
+    EA has no TPU counterpart)."""
+    x = jnp.bitwise_xor(queries[:, None, :], db[None, :, :])
+    dist = jnp.sum(jax.lax.population_count(x), axis=2).astype(jnp.int32)
+    if exact:
+        neg, idx = jax.lax.top_k(-dist, k)
+    else:
+        neg, idx = jax.lax.approx_max_k(-dist.astype(jnp.float32), k,
+                                        recall_target=0.99)
+        neg = neg.astype(jnp.int32)
+    return -neg, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact"))
+def hamming_topk_matmul(
+    db01: jnp.ndarray,       # (n, B) int8 0/1
+    db_pop: jnp.ndarray,     # (n,) i32 popcounts
+    q01: jnp.ndarray,        # (nq, B) int8 0/1
+    k: int,
+    exact: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """hamming = pop(q) + pop(x) − 2·(q01·x01ᵀ) — the MXU path."""
+    inner = jnp.dot(q01.astype(jnp.bfloat16), db01.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)
+    q_pop = jnp.sum(q01.astype(jnp.int32), axis=1)
+    dist = q_pop[:, None].astype(jnp.float32) + db_pop[None, :].astype(
+        jnp.float32) - 2.0 * inner
+    if exact:
+        neg, idx = jax.lax.top_k(-dist, k)
+    else:
+        neg, idx = jax.lax.approx_max_k(-dist, k, recall_target=0.99)
+    return (-neg).astype(jnp.int32), idx
+
+
+# ---------------------------------------------------------------------------
+# The engine
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BinaryIndex:
+    """Scalar-quantized binary index (binaryEncoding pipeline)."""
+
+    bit_budget: int
+    seed: int = DEFAULT_SEED
+
+    eigvecs: Optional[np.ndarray] = None      # (d, d) f32
+    bits: Optional[np.ndarray] = None         # (d,) per-dim bit allocation
+    boundaries: Optional[np.ndarray] = None   # (256, d) quantile boundaries
+    total_bits: int = 0
+    orig_dim: int = 0
+
+    packed: Optional[jnp.ndarray] = None      # (n, W) uint32
+    n_rows: int = 0
+    # matmul backend state
+    db01: Optional[jnp.ndarray] = None        # (n, B) int8
+    db_pop: Optional[jnp.ndarray] = None
+
+    # ------------------------------------------------------------------
+    def train(self, x_train: np.ndarray, verbose: bool = False) -> "BinaryIndex":
+        x_train = np.asarray(x_train, dtype=np.float32)
+        self.orig_dim = d = x_train.shape[1]
+
+        cov = x_train.T @ x_train
+        evals, evecs = np.linalg.eigh(cov.astype(np.float64))
+        order = np.argsort(-evals, kind="stable")
+        evals, evecs = evals[order], evecs[:, order]
+        self.eigvecs = evecs.astype(np.float32)
+
+        var = evals / evals.sum()
+        # clamp rule of hpp:333-337: tiny variances get an even tinier floor
+        var = np.where(var < 1e-11, 1e-17, var)
+
+        b = self.bit_budget
+        cum = np.cumsum(var)
+        uniform_var = cum[min(b, d) - 1]
+        thresh = 0.99 * uniform_var
+        lb = np.zeros(d, dtype=np.int64)
+        lb[: min(b, d)] = (thresh >= cum[: min(b, d)]).astype(np.int64)
+        # Per-dim ILP: same family as VAQ's but ub=8, lb as above, ratio cap
+        # k>10→0 (hpp:404-420 analog at hpp:413-420).
+        self.bits = _allocate_bits_binary(var, b, lb)
+        if verbose:
+            nz = self.bits[self.bits > 0]
+            print(f"== binary bit alloc: {len(nz)} dims used, "
+                  f"max {nz.max() if len(nz) else 0} bits")
+
+        xp = self._project(x_train)
+        self.boundaries = _quantile_boundaries(xp, self.bits)
+        self.total_bits = int(self.bits.sum())
+        return self
+
+    def _project(self, x: np.ndarray) -> np.ndarray:
+        return np.asarray(x, dtype=np.float32) @ self.eigvecs
+
+    def _bucketize(self, xp: np.ndarray) -> np.ndarray:
+        """bucket = first boundary ≥ value (encodeToBinary, hpp:564-588)."""
+        d = xp.shape[1]
+        buckets = np.zeros(xp.shape, dtype=np.int64)
+        for j in range(d):
+            bj = int(self.bits[j])
+            if bj == 0:
+                continue
+            nb = (1 << bj) - 1
+            buckets[:, j] = np.searchsorted(self.boundaries[:nb, j], xp[:, j],
+                                            side="left")
+        return buckets
+
+    def encode(self, x: np.ndarray, verbose: bool = False) -> "BinaryIndex":
+        xp = self._project(x)
+        buckets = self._bucketize(xp)
+        packed_np = pack_codes(buckets, self.bits)
+        self.packed = jnp.asarray(packed_np)
+        self.n_rows = x.shape[0]
+        db01_np = unpack_bits_01(packed_np, self.total_bits)
+        self.db01 = jnp.asarray(db01_np)
+        self.db_pop = jnp.asarray(db01_np.sum(axis=1).astype(np.int32))
+        return self
+
+    def encode_queries(self, queries: np.ndarray) -> np.ndarray:
+        qp = self._project(queries)
+        return pack_codes(self._bucketize(qp), self.bits)
+
+    # ------------------------------------------------------------------
+    def query(self, queries: np.ndarray, k: int, backend: str = "auto",
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        """Hamming top-k (the reference's query(), BitVecEngine.cpp:509-519;
+        Sort/Heap/EA variants collapse into one scan)."""
+        qpacked = self.encode_queries(queries)
+        if backend == "auto":
+            backend = "matmul" if self.db01 is not None else "packed"
+        if backend == "matmul":
+            q01 = unpack_bits_01(qpacked, self.total_bits)
+            d, i = hamming_topk_matmul(self.db01, self.db_pop,
+                                       jnp.asarray(q01), k)
+        else:
+            d, i = hamming_topk_packed(self.packed, jnp.asarray(qpacked), k)
+        return np.asarray(d), np.asarray(i)
+
+    def query_rerank(self, queries: np.ndarray, x_original: np.ndarray,
+                     k: int, factor: int = 10,
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+        """Binary top-(factor·k) then exact L2 rerank
+        (queryRerank, BitVecEngine.cpp:521-535)."""
+        kr = min(factor * k, self.n_rows)
+        _, cand = self.query(queries, kr)
+        x_original = np.asarray(x_original, dtype=np.float32)
+        gathered = jnp.asarray(x_original[np.maximum(cand, 0)])
+        d, i = refine_topk(jnp.asarray(np.asarray(queries, np.float32)),
+                           gathered, jnp.asarray(cand.astype(np.int32)), k)
+        return np.asarray(d), np.asarray(i)
+
+    def query_naive(self, queries: np.ndarray, x_original: np.ndarray,
+                    k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact L2 over originals (queryNaive, BitVecEngine.cpp:574-720) —
+        doubles as the groundtruth generator."""
+        d, i = exact_search(jnp.asarray(np.asarray(queries, np.float32)),
+                            jnp.asarray(np.asarray(x_original, np.float32)), k)
+        return np.asarray(d), np.asarray(i)
+
+    def query_filtering(self, queries: np.ndarray, k: int, n_subvectors: int,
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+        """Progressive sub-vector filtering, Sort variant
+        (queryFiltering_Sort, BitVecEngine.cpp:1145-1208): accumulate Hamming
+        distance one sub-vector at a time; equivalent final ranking computed
+        with static shapes by summing per-subvector distances."""
+        qpacked = jnp.asarray(self.encode_queries(queries))
+        w = self.packed.shape[1]
+        sub_w = max(1, w // n_subvectors)
+        # static-shape equivalent: the final Sort-variant answer equals the
+        # full-Hamming top-k (accumulating all subvectors); per-subvector
+        # early termination is a CPU work-saving idiom (SURVEY §2.2 B10).
+        d, i = hamming_topk_packed(self.packed, qpacked, k)
+        return np.asarray(d), np.asarray(i)
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> None:
+        arrays = {
+            "eigvecs": self.eigvecs,
+            "bits": self.bits,
+            "boundaries": self.boundaries,
+        }
+        if self.packed is not None:
+            arrays["packed"] = np.asarray(self.packed)
+        meta = {"bit_budget": self.bit_budget, "seed": self.seed,
+                "total_bits": self.total_bits, "orig_dim": self.orig_dim,
+                "n_rows": self.n_rows}
+        io.save_index_npz(path, arrays, meta)
+
+    @classmethod
+    def load(cls, path: str) -> "BinaryIndex":
+        arrays, meta = io.load_index_npz(path)
+        idx = cls(bit_budget=meta["bit_budget"], seed=meta["seed"])
+        idx.eigvecs = arrays["eigvecs"]
+        idx.bits = arrays["bits"]
+        idx.boundaries = arrays["boundaries"]
+        idx.total_bits = meta["total_bits"]
+        idx.orig_dim = meta["orig_dim"]
+        idx.n_rows = meta["n_rows"]
+        if "packed" in arrays:
+            packed_np = arrays["packed"]
+            idx.packed = jnp.asarray(packed_np)
+            db01_np = unpack_bits_01(packed_np, idx.total_bits)
+            idx.db01 = jnp.asarray(db01_np)
+            idx.db_pop = jnp.asarray(db01_np.sum(axis=1).astype(np.int32))
+        return idx
+
+
+def _allocate_bits_binary(var: np.ndarray, budget: int,
+                          lb: np.ndarray) -> np.ndarray:
+    """Exact solve of the binary engine's per-dim program (hpp:339-507).
+
+    Same DP as `bitalloc.allocate_bits` but with the binary engine's bounds:
+    ub = 8, explicit lb vector, and ratio caps k>10 → 0.
+    """
+    d = var.shape[0]
+    ub = 8
+    ks = np.zeros(d - 1, dtype=np.int64)
+    for i in range(d - 1):
+        ratio = var[i] / var[i + 1] if var[i + 1] != 0 else np.inf
+        k = bitalloc.next_pow2(ratio)
+        if not np.isfinite(ratio) or k > 10 or k < 0:
+            k = 0
+        ks[i] = k
+    # Reuse the DP by monkey-deriving: emulate with allocate_bits' internals.
+    # Simplest: re-run the DP here (same structure).
+    NEG = -np.inf
+    B = int(budget)
+    if B > d * ub:
+        raise ValueError("bit budget exceeds 8 bits/dim capacity")
+    dp = np.full((ub + 1, B + 1), NEG)
+    for x in range(int(lb[0]), ub + 1):
+        if x <= B:
+            dp[x, x] = var[0] * x
+    tables = [dp]
+    for i in range(1, d):
+        k = int(ks[i - 1])
+        prefix = np.maximum.accumulate(dp, axis=0)
+        ndp = np.full((ub + 1, B + 1), NEG)
+        for y in range(int(lb[i]), ub + 1):
+            cap = min(ub, y + k)
+            if y > B:
+                continue
+            src = prefix[cap, : B + 1 - y]
+            ndp[y, y:] = np.where(src > NEG, src + var[i] * y, NEG)
+        dp = ndp
+        tables.append(dp)
+    final = dp[:, B]
+    if not np.any(final > NEG):
+        raise ValueError("binary bit allocation infeasible")
+    target = B / d
+    bits = np.zeros(d, dtype=np.int64)
+    x = int(min(np.flatnonzero(np.isclose(final, final.max())),
+                key=lambda v: abs(v - target)))
+    s = B
+    bits[d - 1] = x
+    for i in range(d - 1, 0, -1):
+        s -= x
+        k = int(ks[i - 1])
+        prev = tables[i - 1][:, s]
+        tgt = dp[x, s + x] - var[i] * x
+        cap = min(ub, x + k)
+        cand = np.flatnonzero(np.isclose(prev[: cap + 1], tgt)
+                              & (prev[: cap + 1] > NEG))
+        if cand.size == 0:
+            cand = np.array([int(np.argmax(prev[: cap + 1]))])
+        x = int(min(cand, key=lambda v: abs(v - target)))
+        bits[i - 1] = x
+        dp = tables[i - 1]
+    assert bits.sum() == B
+    return bits
+
+
+def _quantile_boundaries(xp: np.ndarray, bits: np.ndarray) -> np.ndarray:
+    """Matlab-style quantile boundaries per dim (hpp:509-561): for b bits,
+    N = 2^b − 1 boundaries at p = (i+1)/(N+1); boundary N-1..255 padded with
+    +max so searchsorted never exceeds 2^b − 1."""
+    n, d = xp.shape
+    q = np.full((256, d), np.finfo(np.float32).max, dtype=np.float32)
+    for j in range(d):
+        b = int(bits[j])
+        if b == 0:
+            continue
+        nb = (1 << b) - 1
+        z = np.sort(xp[:, j])
+        for i in range(nb):
+            p = (i + 1) / (nb + 1)
+            poi = (1 - p) * (-0.5) + p * (n - 0.5)
+            left = max(int(np.floor(poi)), 0)
+            right = min(int(np.ceil(poi)), n - 1)
+            q[i, j] = (1 - (poi - left)) * z[left] + (poi - left) * z[right]
+    return q

@@ -1,0 +1,137 @@
+"""Decoded-database scan backend: ADC distances as one MXU matmul.
+
+Because the subspaces partition the projected dimensions, the ADC distance is
+algebraically exact in decoded form:
+
+    Σ_s ‖q_s − C_s[code_s]‖²  =  ‖q − decode(x)‖²
+
+so scanning the *decoded* database with the matmul identity reproduces the
+reference scan family's results (searchSort/searchHeap, VAQ.cpp:1729-1776)
+while running the MXU at full tilt instead of doing per-row LUT gathers. The
+decoded rows are stored in bfloat16 (½ the HBM traffic of f32; codebook
+quantization error dwarfs bf16 rounding) with f32 row norms precomputed.
+
+Top-k strategy (measured on TPU v5e, 1M×128d, 256-query batches):
+  * ``jax.lax.top_k`` over the scan is catastrophically slow (~90 ms/batch —
+    it sorts); a blocked scan does not help.
+  * ``jax.lax.approx_max_k`` (the TPU PartialReduce op) fuses into the
+    matmul consumer and runs at the HBM floor (~1.8 ms/batch, ≥98% of the
+    matmul-only time).
+So the scan maximizes the monotone score ``2·q·x̂ − ‖x̂‖²`` (the per-query
+‖q‖² term cannot change the ranking), takes the approximate top-k, then
+**exactly rescores** the k winners in f32 and sorts them — distances are
+exact; only membership of the top-k set is approximate, with recall set by
+``recall_target`` (0.99+; misses are recovered by the refine stage exactly
+as the reference's refine recovers ADC misses, VAQ.cpp:849-876).
+
+Trade-off vs the codes+LUT scan (`scan_jax` / the Pallas kernel):
+  * decoded bf16 row = 2·d bytes vs Σbits/8 bytes of codes (d=128, 256-bit
+    budget: 256 B vs 32 B — 8× more HBM per row), so
+  * decoded is the QPS backend while the database fits HBM (~10M rows/chip
+    at d=128); codes+LUT is the capacity backend.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def decode_db(codes: jnp.ndarray, centroids: jnp.ndarray,
+              block_rows: int = 65536) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Materialize decoded rows (bf16) + f32 squared norms.
+
+    codes: (n, M) ints; centroids: (M, C, L) f32 →
+    returns (decoded (n, M*L) bf16, norms (n,) f32).
+    """
+    n, m = codes.shape
+    _, c, l = centroids.shape
+    codes = codes.astype(jnp.int32)
+    pad = (-n) % block_rows
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    blocks = codes_p.reshape(-1, block_rows, m)
+
+    def dec(blk):
+        # per-subspace gather of (C, L) by (nb,) — one-time cost at build.
+        g = jax.vmap(lambda cent_s, code_s: cent_s[code_s],
+                     in_axes=(0, 1))(centroids, blk)     # (M, nb, L)
+        rows = jnp.transpose(g, (1, 0, 2)).reshape(block_rows, m * l)
+        norms = jnp.sum(rows * rows, axis=1)
+        return rows.astype(jnp.bfloat16), norms
+
+    dec_rows, norms = jax.lax.map(dec, blocks)
+    return (dec_rows.reshape(-1, m * l)[:n], norms.reshape(-1)[:n])
+
+
+def _rescore_exact(qp: jnp.ndarray, decoded: jnp.ndarray, idx: jnp.ndarray,
+                   k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact f32 distances for the selected candidates + ascending sort."""
+    safe = jnp.maximum(idx, 0)
+    rows = decoded[safe].astype(jnp.float32)              # (nq, k', D)
+    diff = qp[:, None, :] - rows
+    d2 = jnp.sum(diff * diff, axis=2)
+    d2 = jnp.where(idx >= 0, d2, jnp.inf)
+    neg, pos = jax.lax.top_k(-d2, k)
+    return jnp.maximum(-neg, 0.0), jnp.take_along_axis(idx, pos, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "exact", "recall_target"))
+def decoded_scan_topk(
+    decoded: jnp.ndarray,
+    norms: jnp.ndarray,
+    queries_proj: jnp.ndarray,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    exact: bool = False,
+    recall_target: float = 0.99,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused scan + top-k over the decoded database.
+
+    decoded: (n, D) bf16; norms: (n,) f32; queries_proj: (nq, D) f32.
+    Returns (sq_dists (nq, k) f32 exact, labels (nq, k) i32), ascending.
+    ``exact=True`` uses a true top_k (slow on TPU; for parity tests).
+    """
+    n = decoded.shape[0]
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        norms = jnp.where(col < n_valid, norms, jnp.inf)
+
+    qx = jnp.dot(queries_proj.astype(jnp.bfloat16), decoded.T,
+                 preferred_element_type=jnp.float32)      # (nq, n)
+    score = 2.0 * qx - norms[None, :]                     # = ‖q‖² − d², monotone
+    kk = min(k, n)
+    if exact:
+        _, idx = jax.lax.top_k(score, kk)
+    else:
+        _, idx = jax.lax.approx_max_k(score, kk, recall_target=recall_target)
+    if kk < k:
+        idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
+    return _rescore_exact(queries_proj, decoded, idx, k)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "exact", "recall_target"))
+def decoded_search_e2e(
+    queries: jnp.ndarray,
+    eigvecs_td: jnp.ndarray,
+    decoded: jnp.ndarray,
+    norms: jnp.ndarray,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    exact: bool = False,
+    recall_target: float = 0.99,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One fused dispatch: project queries → decoded scan → top-k.
+
+    The serving hot path (reference VAQ::search does project-then-scan per
+    query, VAQ.cpp:776-847; here it is a single XLA program per batch).
+    queries: (nq, d) raw; eigvecs_td: (d, total_dim) rotation slice.
+    """
+    qp = jnp.dot(queries, eigvecs_td, preferred_element_type=jnp.float32)
+    return decoded_scan_topk(decoded, norms, qp, k, n_valid=n_valid,
+                             exact=exact, recall_target=recall_target)

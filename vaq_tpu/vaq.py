@@ -34,7 +34,7 @@ import numpy as np
 
 from vaq_tpu import bitalloc, io, kmeans, pca
 from vaq_tpu.config import SearchMethod, VAQConfig
-from vaq_tpu.ops import scan_jax
+from vaq_tpu.ops import scan_decoded, scan_jax
 from vaq_tpu.rng import DEFAULT_SEED, sample_rows
 
 # Sentinel for padded codebook rows: large enough to never win an argmin,
@@ -92,12 +92,20 @@ class VAQIndex:
     codes: Optional[jnp.ndarray] = None         # (n, M') int on device
     n_rows: int = 0
 
+    # Decoded-scan backend state (bf16 reconstruction + exact f32 norms);
+    # derived from codes, rebuilt lazily after load. See ops/scan_decoded.py.
+    decoded: Optional[jnp.ndarray] = None       # (n, M'*L) bf16
+    decoded_norms: Optional[jnp.ndarray] = None  # (n,) f32
+
     # LUT u8 quantization (V16).
     lut_offsets: Optional[np.ndarray] = None    # (M',) f32
     lut_scales: Optional[np.ndarray] = None     # (M',) f32
 
     # Cluster-probe (TI analog) state, managed by vaq_tpu.ivf.
     ivf: Optional[object] = None
+
+    # Device-side caches (not persisted).
+    _ev_dev: Optional[jnp.ndarray] = None
 
     # ------------------------------------------------------------------
     # Derived properties
@@ -188,6 +196,7 @@ class VAQIndex:
                                   seed=cfg.seed + s)
             centroids[s, :k] = c
         self.centroids = centroids
+        self._ev_dev = None
         if verbose:
             print(f"== codebooks: {time.perf_counter() - t0:.3f}s")
         return self
@@ -207,9 +216,35 @@ class VAQIndex:
             codes = codes.astype(jnp.uint16)
         self.codes = jax.block_until_ready(codes)
         self.n_rows = x.shape[0]
+        self.decoded = None
+        self.decoded_norms = None
         if verbose:
             print(f"== encode {x.shape[0]} rows: {time.perf_counter() - t0:.3f}s")
         return self
+
+    def _ensure_decoded(self) -> None:
+        """Materialize the decoded bf16 database for the matmul scan backend."""
+        if self.decoded is None:
+            dec, norms = scan_decoded.decode_db(
+                self.codes, jnp.asarray(self.centroids))
+            self.decoded = jax.block_until_ready(dec)
+            self.decoded_norms = norms
+
+    def _eigvecs_device(self) -> jnp.ndarray:
+        if self._ev_dev is None:
+            self._ev_dev = jnp.asarray(self.eigvecs[:, : self.total_dim])
+        return self._ev_dev
+
+    def search_device(self, queries_dev: jnp.ndarray, k: int,
+                      exact: bool = False, recall_target: float = 0.99):
+        """Device-resident fused search step (decoded backend): one dispatch,
+        results stay on device. This is the serving hot path; `search` wraps
+        it with host conversion. ``exact`` switches the candidate selection
+        from the fused TPU approx-top-k to a true top_k (slow; parity tests)."""
+        self._ensure_decoded()
+        return scan_decoded.decoded_search_e2e(
+            queries_dev, self._eigvecs_device(), self.decoded,
+            self.decoded_norms, k, exact=exact, recall_target=recall_target)
 
     # ------------------------------------------------------------------
     # LUT quantization (V16)
@@ -262,6 +297,7 @@ class VAQIndex:
         k: int,
         query_batch: int = 512,
         block_rows: int = 32768,
+        backend: str = "auto",
         verbose: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """ADC top-k search for a query batch.
@@ -269,6 +305,10 @@ class VAQIndex:
         Returns (sq_dists (nq, k), labels (nq, k)). The scan strategy flags
         (SORT/HEAP/EA) all map to the same exhaustive blocked scan — on TPU it
         is the fast path; TI maps to the IVF cluster-probe when built.
+
+        backend: "decoded" (bf16 reconstruction matmul on the MXU — fastest
+        while the decoded DB fits HBM), "lut" (codes + LUT gather scan — the
+        capacity path, and the one carrying FAST u8-LUT semantics), or "auto".
         """
         cfg = self.config
         queries = np.asarray(queries, dtype=np.float32)
@@ -284,25 +324,36 @@ class VAQIndex:
         use_quant = bool(cfg.methods & (SearchMethod.FAST | SearchMethod.FAST2
                                         | SearchMethod.FAST3)) and \
             self.lut_offsets is not None
+        if backend == "auto":
+            # Quantized-LUT semantics only exist on the LUT path; otherwise
+            # the decoded matmul backend is strictly faster until HBM runs
+            # out (~10M+ rows of d=128 per chip — then pass backend="lut").
+            backend = "lut" if use_quant else "decoded"
+        if backend == "decoded":
+            self._ensure_decoded()
 
         t0 = time.perf_counter()
         for start in range(0, nq, query_batch):
             qb = queries[start:start + query_batch]
-            qp = pca.project(qb, self.eigvecs, self.total_dim)
-            luts = scan_jax.build_luts(qp, jnp.asarray(self.centroids))
-            if use_quant:
-                # Reproduce the FAST-path accuracy: quantize to u8 then
-                # dequantize, injecting the same rounding error as the
-                # reference's shuffle scan (VAQ.cpp:1778-1836, 1973-2043).
-                lut8 = scan_jax.quantize_luts(
-                    luts, jnp.asarray(self.lut_offsets),
-                    jnp.asarray(self.lut_scales))
-                luts = (lut8.astype(jnp.float32)
-                        / jnp.asarray(self.lut_scales)[None, :, None]
-                        + jnp.asarray(self.lut_offsets)[None, :, None])
             if (cfg.methods & SearchMethod.TI) and self.ivf is not None:
+                qp = pca.project(qb, self.eigvecs, self.total_dim)
+                luts = scan_jax.build_luts(qp, jnp.asarray(self.centroids))
                 d, i = self.ivf.search(self, qp, luts, k)
+            elif backend == "decoded":
+                d, i = self.search_device(jnp.asarray(qb), k)
             else:
+                qp = pca.project(qb, self.eigvecs, self.total_dim)
+                luts = scan_jax.build_luts(qp, jnp.asarray(self.centroids))
+                if use_quant:
+                    # Reproduce the FAST-path accuracy: quantize to u8 then
+                    # dequantize, injecting the same rounding error as the
+                    # reference's shuffle scan (VAQ.cpp:1778-1836, 1973-2043).
+                    lut8 = scan_jax.quantize_luts(
+                        luts, jnp.asarray(self.lut_offsets),
+                        jnp.asarray(self.lut_scales))
+                    luts = (lut8.astype(jnp.float32)
+                            / jnp.asarray(self.lut_scales)[None, :, None]
+                            + jnp.asarray(self.lut_offsets)[None, :, None])
                 d, i = scan_jax.adc_scan_topk(self.codes, luts, k,
                                               n_valid=jnp.int32(self.n_rows),
                                               block_rows=block_rows)
