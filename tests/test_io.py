@@ -67,3 +67,33 @@ def test_write_knn_results(tmp_path):
     io.write_knn_results(p, np.array([[1, 2], [3, 4]]))
     lines = open(p).read().strip().split("\n")
     assert lines == ["1,2", "3,4"]
+
+
+def test_reference_centroid_format_roundtrip(tmp_path):
+    cents = [np.random.default_rng(i).standard_normal((2 ** (4 + i % 3), 4)
+                                                      ).astype(np.float32)
+             for i in range(5)]
+    p = str(tmp_path / "cent.bin")
+    io.save_centroids_ref(p, cents)
+    loaded = io.load_centroids_ref(p)
+    assert len(loaded) == 5
+    for a, b in zip(cents, loaded):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_reference_codebook_format_roundtrip(tmp_path):
+    codes = np.random.default_rng(0).integers(0, 65535, size=(100, 16)
+                                              ).astype(np.uint16)
+    p = str(tmp_path / "cb.bin")
+    io.save_codebook_ref(p, codes)
+    np.testing.assert_array_equal(io.load_codebook_ref(p), codes)
+
+
+def test_bolt_export(tmp_path):
+    cents = [np.ones((16, 4), np.float32) * i for i in range(3)]
+    p = str(tmp_path / "bolt.csv")
+    io.write_centroids_bolt(p, cents)
+    lines = open(p).read().strip().split("\n")
+    assert len(lines) == 48
+    assert lines[0] == "0,0,0,0"
+    assert lines[-1] == "2,2,2,2"

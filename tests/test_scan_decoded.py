@@ -81,3 +81,31 @@ def test_index_backend_equivalence(sift_like):
     r_dec = metrics.avg_recall(l_dec, gt, 50)
     r_lut = metrics.avg_recall(l_lut, gt, 50)
     assert abs(r_dec - r_lut) < 0.01, (r_dec, r_lut)
+
+
+def test_int8_tier_matches_bf16(sift_like):
+    from vaq_tpu.config import parse_method_string
+    from vaq_tpu.vaq import VAQIndex
+    base, queries, gt = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    _, l16 = idx.search(queries, 50, backend="decoded")
+    _, l8 = idx.search(queries, 50, backend="decoded8")
+    r16 = metrics.avg_recall(l16, gt, 50)
+    r8 = metrics.avg_recall(l8, gt, 50)
+    assert abs(r16 - r8) < 0.02, (r16, r8)
+
+
+def test_decode_db_int8_reconstruction():
+    import jax.numpy as jnp
+    from vaq_tpu.ops import scan_decoded
+    cent, codes, _ = _setup()
+    d8, scales, norms = scan_decoded.decode_db_int8(
+        jnp.asarray(codes), jnp.asarray(cent), block_rows=256)
+    m, l = cent.shape[0], cent.shape[2]
+    ref = np.concatenate([cent[s][codes[:, s]] for s in range(m)], axis=1)
+    rec = np.asarray(d8, dtype=np.float32) / np.asarray(scales)[None, :]
+    # int8 quantization error bounded by step size per dim
+    step = 1.0 / np.asarray(scales)
+    assert np.all(np.abs(rec - ref) <= step[None, :] * 0.51 + 1e-6)
+    np.testing.assert_allclose(np.asarray(norms), (ref * ref).sum(1), rtol=1e-4)

@@ -1,0 +1,68 @@
+"""Continuous-batching server tests."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vaq_tpu import metrics
+from vaq_tpu.config import parse_method_string
+from vaq_tpu.serving import SearchServer
+from vaq_tpu.vaq import VAQIndex
+
+
+@pytest.fixture(scope="module")
+def server_setup(sift_like):
+    base, queries, gt = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    return idx, queries, gt
+
+
+def test_single_query_roundtrip(server_setup):
+    idx, queries, gt = server_setup
+    srv = SearchServer(idx, k=10, max_batch=32, max_wait_ms=1.0)
+    try:
+        d, i = srv.search(queries[0])
+        assert d.shape == (1, 10) and i.shape == (1, 10)
+        ref_d, ref_i = idx.search(queries[:1], 10)
+        np.testing.assert_array_equal(i, ref_i)
+    finally:
+        srv.close()
+
+
+def test_concurrent_clients_batched(server_setup):
+    idx, queries, gt = server_setup
+    srv = SearchServer(idx, k=10, max_batch=16, max_wait_ms=20.0)
+    try:
+        futs = [srv.submit(queries[j]) for j in range(48)]
+        results = [f.result(60) for f in futs]
+        labels = np.concatenate([i for _, i in results], axis=0)
+        rec = metrics.avg_recall(labels, gt[:48], 10)
+        ref_rec = metrics.avg_recall(idx.search(queries[:48], 10)[1],
+                                     gt[:48], 10)
+        assert abs(rec - ref_rec) < 1e-6
+        # coalescing actually happened (48 queries in ≤ ~6 batches, not 48)
+        assert srv.batches_served <= 12, srv.batches_served
+        assert srv.queries_served == 48
+    finally:
+        srv.close()
+
+
+def test_group_submit(server_setup):
+    idx, queries, _ = server_setup
+    srv = SearchServer(idx, k=5, max_batch=64)
+    try:
+        d, i = srv.search(queries[:7])
+        assert i.shape == (7, 5)
+    finally:
+        srv.close()
+
+
+def test_close_idempotent(server_setup):
+    idx, queries, _ = server_setup
+    srv = SearchServer(idx, k=5)
+    srv.search(queries[0])
+    srv.close()
+    # after close, thread is gone
+    assert not srv._thread.is_alive()

@@ -97,3 +97,28 @@ def test_sharded_kmeans_matches_single_device(mesh8):
     got = np.asarray(lloyd_sharded(x_sh, jnp.asarray(c0), jnp.int32(640),
                                    5, mesh8))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_sharded_decoded_matches_single(mesh8):
+    from vaq_tpu.ops import scan_decoded
+    from vaq_tpu.parallel import sharded_decoded_search
+    rng = np.random.default_rng(5)
+    n, d, nq, k = 1000, 32, 6, 10
+    dec = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32)).astype(
+        jnp.bfloat16)
+    norms = jnp.sum(dec.astype(jnp.float32) ** 2, axis=1)
+    qp = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+
+    d_ref, i_ref = scan_decoded.decoded_scan_topk(dec, norms, qp, k,
+                                                  exact=True)
+    pad = (-n) % 8
+    dec_sh = shard_rows_for(mesh8, dec)
+    norms_p = jnp.pad(norms, (0, pad))
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    norms_sh = jax.device_put(norms_p, NamedSharding(mesh8, P("db")))
+    d, i = sharded_decoded_search(dec_sh, norms_sh, qp, k, jnp.int32(n),
+                                  mesh8, exact=True)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d_ref), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))

@@ -118,3 +118,17 @@ def test_hardcoded_bit_allocation(sift_like):
     cfg = dataclasses.replace(cfg, hardcoded_bits=(8,) * 16)
     idx = VAQIndex(cfg).train(base)
     assert list(idx.bits) == [8] * 16
+
+
+def test_reference_artifact_roundtrip(tmp_path, trained):
+    """Export to the C++ binary formats and rebuild an index from them."""
+    idx, base, queries, gt = trained
+    cp = str(tmp_path / "cent.bin")
+    kp = str(tmp_path / "codes.bin")
+    idx.export_reference_artifacts(cp, kp)
+    idx2 = VAQIndex.from_reference_artifacts(idx.config, cp, kp, base)
+    _, l1 = idx.search(queries[:16], 10)
+    _, l2 = idx2.search(queries[:16], 10)
+    r1 = metrics.avg_recall(l1, gt[:16], 10)
+    r2 = metrics.avg_recall(l2, gt[:16], 10)
+    assert abs(r1 - r2) < 0.03, (r1, r2)

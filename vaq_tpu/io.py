@@ -179,3 +179,61 @@ def load_index_npz(path: str):
         arrays = {k: z[k] for k in z.files if k != "__meta_json__"}
         meta = json.loads(bytes(z["__meta_json__"].tobytes()).decode("utf-8"))
     return arrays, meta
+
+
+# ---------------------------------------------------------------------------
+# Reference-binary-format interop (migration from the C++ engine)
+# ---------------------------------------------------------------------------
+
+def save_centroids_ref(path: str, centroids_per_subs) -> None:
+    """Write per-subspace centroid matrices in the reference's binary layout
+    (saveCentroids, IO.hpp:736-754): u64 count; per subspace u64 rows, u64
+    cols, rows*cols float32 row-major."""
+    with open(path, "wb") as f:
+        f.write(np.uint64(len(centroids_per_subs)).tobytes())
+        for c in centroids_per_subs:
+            c = np.ascontiguousarray(c, dtype=np.float32)
+            f.write(np.uint64(c.shape[0]).tobytes())
+            f.write(np.uint64(c.shape[1]).tobytes())
+            f.write(c.tobytes())
+
+
+def load_centroids_ref(path: str):
+    """Read the reference's centroid artifact (loadCentroids, IO.hpp:522-549).
+    Returns a list of (rows_i, cols) float32 arrays (ragged per subspace)."""
+    out = []
+    with open(path, "rb") as f:
+        dim = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+        for _ in range(dim):
+            r = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+            c = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+            data = np.frombuffer(f.read(4 * r * c), dtype=np.float32)
+            out.append(data.reshape(r, c).copy())
+    return out
+
+
+def save_codebook_ref(path: str, codes: np.ndarray) -> None:
+    """Write encoded codes in the reference's layout (saveCodebook,
+    IO.hpp:756-772): u64 rows, u64 cols, rows*cols uint16 row-major."""
+    codes = np.ascontiguousarray(codes, dtype=np.uint16)
+    with open(path, "wb") as f:
+        f.write(np.uint64(codes.shape[0]).tobytes())
+        f.write(np.uint64(codes.shape[1]).tobytes())
+        f.write(codes.tobytes())
+
+
+def load_codebook_ref(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        r = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+        c = int(np.frombuffer(f.read(8), dtype=np.uint64)[0])
+        return np.frombuffer(f.read(2 * r * c), dtype=np.uint16).reshape(r, c).copy()
+
+
+def write_centroids_bolt(path: str, centroids_per_subs) -> None:
+    """Bolt-interop CSV export (writeCentroidsExternalBolt, IO.hpp:574-591):
+    one centroid per line, comma-separated, subspaces concatenated."""
+    with open(path, "w") as f:
+        for c in centroids_per_subs:
+            for row in np.asarray(c, dtype=np.float32):
+                f.write(",".join(f"{v:g}" for v in row))
+                f.write("\n")

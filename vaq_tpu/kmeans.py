@@ -41,6 +41,8 @@ def assign_clusters(x: jnp.ndarray, centroids: jnp.ndarray,
                     block_rows: int = 65536) -> jnp.ndarray:
     """argmin assignment, chunked over rows to bound the (n, k) matrix."""
     n = x.shape[0]
+    block_rows = max(256, min(block_rows,
+                              (1 << 24) // max(centroids.shape[0], 1)))
     if n <= block_rows:
         return jnp.argmin(_pairwise_sq_dists(x, centroids), axis=1)
     pad = (-n) % block_rows
@@ -94,7 +96,11 @@ def lloyd(x: jnp.ndarray, init_centroids: jnp.ndarray, iters: int = 25,
           block_rows: int = 65536) -> jnp.ndarray:
     """Run `iters` Lloyd iterations from the given initial centroids."""
     n = x.shape[0]
-    small = n * init_centroids.shape[0] <= (1 << 24)
+    k = init_centroids.shape[0]
+    small = n * k <= (1 << 24)
+    # Bound the (block, k) distance matrix to ~2^24 elements (64 MB f32) so
+    # large-k codebooks (13-bit subspaces → k=8192) stay in memory budget.
+    block_rows = max(256, min(block_rows, (1 << 24) // max(k, 1)))
 
     def body(c, _):
         if small:

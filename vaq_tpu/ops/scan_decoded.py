@@ -67,6 +67,98 @@ def decode_db(codes: jnp.ndarray, centroids: jnp.ndarray,
     return (dec_rows.reshape(-1, m * l)[:n], norms.reshape(-1)[:n])
 
 
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def decode_db_int8(
+    codes: jnp.ndarray, centroids: jnp.ndarray, block_rows: int = 65536,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Int8 variant of :func:`decode_db` — the capacity tier.
+
+    Rows are stored as int8 with one per-dimension scale (folded into the
+    query at search time), 4× less HBM than bf16: at d=128 that is 128 B/row
+    vs the 32 B of raw codes, so ~100M rows fit one chip's HBM while the
+    scan stays an MXU matmul (int8×int8→int32). This is the TPU-native
+    answer to the reference's u8-LUT fast scan (V14-V16): *quantize the
+    reconstruction, not the lookup table*.
+
+    Returns (decoded8 (n, D) int8, dim_scales (D,) f32 with
+    x ≈ decoded8 / dim_scales, norms (n,) f32 exact).
+    """
+    n, m = codes.shape
+    _, c, l = centroids.shape
+    # int8 range per dim from the centroid extrema (padding sentinels are
+    # masked out by taking per-subspace valid maxima via finite check).
+    finite = jnp.where(jnp.abs(centroids) < 1e17, jnp.abs(centroids), 0.0)
+    dim_max = jnp.max(finite, axis=1).reshape(m * l)      # (D,)
+    dim_scales = 127.0 / jnp.maximum(dim_max, 1e-30)
+
+    codes = codes.astype(jnp.int32)
+    pad = (-n) % block_rows
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    blocks = codes_p.reshape(-1, block_rows, m)
+
+    def dec(blk):
+        g = jax.vmap(lambda cent_s, code_s: cent_s[code_s],
+                     in_axes=(0, 1))(centroids, blk)
+        rows = jnp.transpose(g, (1, 0, 2)).reshape(block_rows, m * l)
+        norms = jnp.sum(rows * rows, axis=1)
+        q8 = jnp.clip(jnp.round(rows * dim_scales[None, :]), -127, 127)
+        return q8.astype(jnp.int8), norms
+
+    dec_rows, norms = jax.lax.map(dec, blocks)
+    return (dec_rows.reshape(-1, m * l)[:n], dim_scales,
+            norms.reshape(-1)[:n])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact", "recall_target"))
+def decoded8_scan_topk(
+    decoded8: jnp.ndarray,
+    dim_scales: jnp.ndarray,
+    norms: jnp.ndarray,
+    decoded_rescore: jnp.ndarray,
+    queries_proj: jnp.ndarray,
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    exact: bool = False,
+    recall_target: float = 0.99,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Int8 scan: fold per-dim scales into the query, quantize the query with
+    one global scale, run the int8 MXU matmul, approx-top-k, exact rescore.
+
+    decoded_rescore: rows used for the exact rescore — pass the int8 matrix
+    itself (dequantized on the fly) or a higher-precision copy if available.
+    """
+    n = decoded8.shape[0]
+    if n_valid is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+        norms = jnp.where(col < n_valid, norms, jnp.inf)
+
+    q_folded = queries_proj / dim_scales[None, :]
+    gamma = jnp.max(jnp.abs(q_folded), axis=1, keepdims=True) / 127.0
+    gamma = jnp.maximum(gamma, 1e-30)
+    q8 = jnp.clip(jnp.round(q_folded / gamma), -127, 127).astype(jnp.int8)
+
+    inner = jnp.dot(q8, decoded8.T, preferred_element_type=jnp.int32)
+    # q·x ≈ gamma * inner  (per query row)
+    score = 2.0 * gamma * inner.astype(jnp.float32) - norms[None, :]
+    kk = min(k, n)
+    if exact:
+        _, idx = jax.lax.top_k(score, kk)
+    else:
+        _, idx = jax.lax.approx_max_k(score, kk, recall_target=recall_target)
+    if kk < k:
+        idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
+    safe = jnp.maximum(idx, 0)
+    rows = (decoded_rescore[safe].astype(jnp.float32)
+            / dim_scales[None, None, :]
+            if decoded_rescore.dtype == jnp.int8
+            else decoded_rescore[safe].astype(jnp.float32))
+    diff = queries_proj[:, None, :] - rows
+    d2 = jnp.sum(diff * diff, axis=2)
+    d2 = jnp.where(idx >= 0, d2, jnp.inf)
+    neg, pos = jax.lax.top_k(-d2, k)
+    return jnp.maximum(-neg, 0.0), jnp.take_along_axis(idx, pos, axis=1)
+
+
 def _rescore_exact(qp: jnp.ndarray, decoded: jnp.ndarray, idx: jnp.ndarray,
                    k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact f32 distances for the selected candidates + ascending sort."""

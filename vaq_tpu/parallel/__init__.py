@@ -9,11 +9,13 @@ all-gather — the partial-answer "ordered section" becomes an XLA collective.
 
 from vaq_tpu.parallel.mesh import make_mesh
 from vaq_tpu.parallel.sharded import (shard_codes, sharded_adc_search,
+                                      sharded_decoded_search,
                                       sharded_exact_search)
 
 __all__ = [
     "make_mesh",
     "shard_codes",
     "sharded_adc_search",
+    "sharded_decoded_search",
     "sharded_exact_search",
 ]

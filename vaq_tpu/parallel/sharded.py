@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from vaq_tpu.ops import scan_jax
+from vaq_tpu.ops import scan_decoded, scan_jax
 from vaq_tpu.ops.distances import pairwise_sq_dists
 
 
@@ -100,6 +100,59 @@ def sharded_adc_search(
         out_specs=out_spec,
         check_vma=False,
     )(codes, luts, n_total)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "mesh", "exact", "recall_target", "q_axis",
+                     "db_axis"),
+)
+def sharded_decoded_search(
+    decoded: jnp.ndarray,
+    norms: jnp.ndarray,
+    luts_or_qp: jnp.ndarray,
+    k: int,
+    n_total: jnp.ndarray,
+    mesh: Mesh,
+    exact: bool = False,
+    recall_target: float = 0.99,
+    q_axis: Optional[str] = None,
+    db_axis: str = "db",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded version of the decoded fast path: bf16 rows row-sharded over
+    the db axis, projected queries replicated (or q-sharded); per-shard fused
+    matmul + approx-top-k + exact rescore, then the k-row all_gather merge.
+
+    luts_or_qp: (nq, D) *projected* queries (named for API symmetry with
+    sharded_adc_search).
+    """
+    n_pad = decoded.shape[0]
+    nshards = mesh.shape[db_axis]
+    shard_rows = n_pad // nshards
+    qp = luts_or_qp
+
+    q_spec = P(q_axis, None) if q_axis else P(None, None)
+    out_spec = (P(q_axis, None) if q_axis else P(None, None),) * 2
+
+    def local(dec_l, norms_l, qp_l, n_total_l):
+        sidx = jax.lax.axis_index(db_axis)
+        base = sidx * shard_rows
+        n_valid_local = jnp.clip(n_total_l - base, 0, shard_rows)
+        d, i = scan_decoded.decoded_scan_topk(
+            dec_l, norms_l, qp_l, k,
+            n_valid=n_valid_local.astype(jnp.int32),
+            exact=exact, recall_target=recall_target)
+        gi = jnp.where(i >= 0, i + base, -1)
+        d = jnp.where(i >= 0, d, jnp.inf)
+        return _local_topk_merge(d, gi, k, db_axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(db_axis, None), P(db_axis), q_spec, P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )(decoded, norms, qp, n_total)
 
 
 @functools.partial(

@@ -96,6 +96,10 @@ class VAQIndex:
     # derived from codes, rebuilt lazily after load. See ops/scan_decoded.py.
     decoded: Optional[jnp.ndarray] = None       # (n, M'*L) bf16
     decoded_norms: Optional[jnp.ndarray] = None  # (n,) f32
+    # Int8 capacity tier (4x less HBM than bf16; ~100M rows/chip at d=128).
+    decoded8: Optional[jnp.ndarray] = None      # (n, M'*L) int8
+    decoded8_scales: Optional[jnp.ndarray] = None  # (M'*L,) f32
+    decoded8_norms: Optional[jnp.ndarray] = None   # (n,) f32
 
     # LUT u8 quantization (V16).
     lut_offsets: Optional[np.ndarray] = None    # (M',) f32
@@ -230,17 +234,35 @@ class VAQIndex:
             self.decoded = jax.block_until_ready(dec)
             self.decoded_norms = norms
 
+    def _ensure_decoded8(self) -> None:
+        if self.decoded8 is None:
+            d8, scales, norms = scan_decoded.decode_db_int8(
+                self.codes, jnp.asarray(self.centroids))
+            self.decoded8 = jax.block_until_ready(d8)
+            self.decoded8_scales = scales
+            self.decoded8_norms = norms
+
     def _eigvecs_device(self) -> jnp.ndarray:
         if self._ev_dev is None:
             self._ev_dev = jnp.asarray(self.eigvecs[:, : self.total_dim])
         return self._ev_dev
 
     def search_device(self, queries_dev: jnp.ndarray, k: int,
-                      exact: bool = False, recall_target: float = 0.99):
-        """Device-resident fused search step (decoded backend): one dispatch,
-        results stay on device. This is the serving hot path; `search` wraps
-        it with host conversion. ``exact`` switches the candidate selection
-        from the fused TPU approx-top-k to a true top_k (slow; parity tests)."""
+                      exact: bool = False, recall_target: float = 0.99,
+                      backend: str = "decoded"):
+        """Device-resident fused search step: one dispatch, results stay on
+        device. This is the serving hot path; `search` wraps it with host
+        conversion. ``exact`` switches the candidate selection from the fused
+        TPU approx-top-k to a true top_k (slow; parity tests). ``backend``:
+        "decoded" (bf16) or "decoded8" (int8 capacity tier)."""
+        if backend == "decoded8":
+            self._ensure_decoded8()
+            qp = jnp.dot(queries_dev, self._eigvecs_device(),
+                         preferred_element_type=jnp.float32)
+            return scan_decoded.decoded8_scan_topk(
+                self.decoded8, self.decoded8_scales, self.decoded8_norms,
+                self.decoded8, qp, k, exact=exact,
+                recall_target=recall_target)
         self._ensure_decoded()
         return scan_decoded.decoded_search_e2e(
             queries_dev, self._eigvecs_device(), self.decoded,
@@ -327,10 +349,13 @@ class VAQIndex:
         if backend == "auto":
             # Quantized-LUT semantics only exist on the LUT path; otherwise
             # the decoded matmul backend is strictly faster until HBM runs
-            # out (~10M+ rows of d=128 per chip — then pass backend="lut").
+            # out (bf16 tier to ~10M rows of d=128/chip, int8 tier to ~100M;
+            # beyond that pass backend="lut" or shard over a mesh).
             backend = "lut" if use_quant else "decoded"
         if backend == "decoded":
             self._ensure_decoded()
+        elif backend == "decoded8":
+            self._ensure_decoded8()
 
         t0 = time.perf_counter()
         for start in range(0, nq, query_batch):
@@ -339,8 +364,8 @@ class VAQIndex:
                 qp = pca.project(qb, self.eigvecs, self.total_dim)
                 luts = scan_jax.build_luts(qp, jnp.asarray(self.centroids))
                 d, i = self.ivf.search(self, qp, luts, k)
-            elif backend == "decoded":
-                d, i = self.search_device(jnp.asarray(qb), k)
+            elif backend in ("decoded", "decoded8"):
+                d, i = self.search_device(jnp.asarray(qb), k, backend=backend)
             else:
                 qp = pca.project(qb, self.eigvecs, self.total_dim)
                 luts = scan_jax.build_luts(qp, jnp.asarray(self.centroids))
@@ -413,6 +438,55 @@ class VAQIndex:
             "n_rows": self.n_rows,
         }
         io.save_index_npz(path, arrays, meta)
+
+    def export_reference_artifacts(self, centroids_path: str,
+                                   codes_path: str) -> None:
+        """Write centroids/codes in the C++ reference's binary formats
+        (saveCentroids/saveCodebook) for interop."""
+        cents = [self.centroids[s, : int(self.centroid_counts[s])]
+                 for s in range(self.highest_subs)]
+        io.save_centroids_ref(centroids_path, cents)
+        io.save_codebook_ref(codes_path, np.asarray(self.codes))
+
+    @classmethod
+    def from_reference_artifacts(cls, config: VAQConfig, centroids_path: str,
+                                 codes_path: str,
+                                 x_train: np.ndarray) -> "VAQIndex":
+        """Build an index from the C++ engine's saved centroids + codebook.
+
+        The reference does NOT persist the eigenvectors (SURVEY §5), so the
+        rotation must be retrained from the same training data; centroids and
+        codes are then adopted as-is.
+        """
+        idx = cls(config)
+        x_train = np.asarray(x_train, dtype=np.float32)
+        idx.orig_dim = x_train.shape[1]
+        x_train = io.pad_dims(x_train, config.subspace_num)
+        rot = pca.train_rotation(x_train, config.subspace_num,
+                                 config.percent_var_explained, config.seed)
+        idx.eigvecs, idx.eigvals = rot.eigvecs, rot.eigvals
+        idx.var_per_subs = rot.var_per_subs
+        idx.cum_var_per_subs = rot.cum_var_per_subs
+        idx.subs_len, idx.highest_subs = rot.subs_len, rot.highest_subs
+
+        cents = io.load_centroids_ref(centroids_path)
+        idx.highest_subs = min(idx.highest_subs, len(cents))
+        counts = np.array([c.shape[0] for c in cents[: idx.highest_subs]],
+                          dtype=np.int64)
+        idx.bits = np.round(np.log2(counts)).astype(np.int64)
+        idx.centroid_counts = counts
+        cmax = 1 << int(idx.bits.max())
+        full = np.full((idx.highest_subs, cmax, idx.subs_len), PAD_SENTINEL,
+                       dtype=np.float32)
+        for s, c in enumerate(cents[: idx.highest_subs]):
+            full[s, : c.shape[0]] = c
+        idx.centroids = full
+
+        codes = io.load_codebook_ref(codes_path)
+        idx.codes = jnp.asarray(codes[:, : idx.highest_subs].astype(
+            np.uint16 if idx.bits.max() > 8 else np.uint8))
+        idx.n_rows = codes.shape[0]
+        return idx
 
     @classmethod
     def load(cls, path: str) -> "VAQIndex":
