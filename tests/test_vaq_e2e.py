@@ -132,3 +132,35 @@ def test_reference_artifact_roundtrip(tmp_path, trained):
     r1 = metrics.avg_recall(l1, gt[:16], 10)
     r2 = metrics.avg_recall(l2, gt[:16], 10)
     assert abs(r1 - r2) < 0.03, (r1, r2)
+
+
+def test_fast3_hybrid_split(sift_like):
+    """FAST3: only ≤4-bit subspaces see LUT quantization error (V15)."""
+    base, queries, gt = sift_like
+    cfg = parse_method_string("VAQ96m16min2max8var1,FAST3")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    idx.learn_quantization(base, sample_ratio=0.05)
+    assert idx.bits.max() > 4 and idx.bits.min() <= 4, list(idx.bits)
+    _, labels = idx.search(queries, 50)
+    rec = metrics.avg_recall(labels, gt, 50)
+    cfg_s = parse_method_string("VAQ96m16min2max8var1,SORT")
+    idx2 = VAQIndex(cfg_s).train(base).encode(base)
+    _, labels2 = idx2.search(queries, 50)
+    rec2 = metrics.avg_recall(labels2, gt, 50)
+    assert abs(rec - rec2) < 0.05, (rec, rec2)
+
+
+def test_hierarchical_kmeans_high_bits():
+    """>8-bit subspaces route through the two-level k-means (V7)."""
+    import dataclasses
+    from vaq_tpu.data import make_anisotropic_gaussian
+    base, queries = make_anisotropic_gaussian(3000, 32, 16, seed=3)
+    cfg = parse_method_string("VAQ40m4min8max10var1,SORT")
+    cfg = dataclasses.replace(cfg, hierarchical_kmeans=True, kmeans_iters=4)
+    idx = VAQIndex(cfg).train(base).encode(base)
+    assert idx.bits.max() > 8
+    _, labels = idx.search(queries, 10)
+    from vaq_tpu.ops.distances import compute_groundtruth
+    gt = compute_groundtruth(queries, base, 10)
+    rec = metrics.avg_recall(np.asarray(labels), gt, 10)
+    assert rec > 0.5, rec

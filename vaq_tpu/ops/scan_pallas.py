@@ -57,20 +57,27 @@ def _fast4_kernel(lut_ref, codes_ref, score_ref, id_ref, acc_ref):
     """
     nb, m = codes_ref.shape
     qt = lut_ref.shape[0]
+    ngroups = lut_ref.shape[1]
     wr = nb // W_PER_CELL
     assert m % GS == 0, "pad subspace count to a multiple of 8"
 
     acc_ref[:] = jnp.zeros((nb, qt), jnp.float32)
-    iota_gc = jax.lax.broadcasted_iota(jnp.int32, (nb, GS * C4), 1)
-    sub_base = (iota_gc // C4) * C4           # 0,..,0,16,..,16,...,112
-    for g in range(m // GS):
-        codes_g = codes_ref[:, g * GS:(g + 1) * GS].astype(jnp.int32)
-        # broadcast each code to its 16-lane slot: target[r, j] =
-        # codes[r, j // 16] + 16·(j // 16)
-        rep = jnp.broadcast_to(codes_g[:, :, None], (nb, GS, C4)).reshape(
-            nb, GS * C4)
-        onehot = (iota_gc == rep + sub_base).astype(jnp.bfloat16)
-        lut_g = lut_ref[:, g * GS:(g + 1) * GS, :].reshape(qt, GS * C4)
+    lanes = GS * C4
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1)
+    code_of_lane = (iota_lane // GS).astype(jnp.float32)  # lane j → j // GS
+    # Selection matrix S[s, j] = (j % GS == s): codes_g @ S replicates each
+    # subspace's code across its lanes without any reshape (Mosaic rejects
+    # minor-dim merges). Codes < 16 are exact in bf16.
+    s_row = jax.lax.broadcasted_iota(jnp.int32, (GS, lanes), 0)
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (GS, lanes), 1)
+    sel = (s_col % GS == s_row).astype(jnp.bfloat16)
+    for g in range(ngroups):
+        codes_g = codes_ref[:, g * GS:(g + 1) * GS].astype(jnp.bfloat16)
+        code_lane = jax.lax.dot_general(
+            codes_g, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (NB, 128)
+        onehot = (code_lane == code_of_lane).astype(jnp.bfloat16)
+        lut_g = lut_ref[:, g, :]                          # (QT, 128) code-major
         acc_ref[:] += jax.lax.dot_general(
             onehot, lut_g.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -114,13 +121,18 @@ def fast4_window_scan(
         codes = jnp.pad(codes, ((0, 0), (0, pad_m)))
         luts_p = jnp.pad(luts_p, ((0, 0), (0, pad_m), (0, 0)))
         m += pad_m
+    ngroups = m // GS
+    # Rearrange LUT code-major within each GS-subspace group so the kernel's
+    # lane j ↔ (code = j // GS, subspace = j % GS):
+    luts_cm = luts_p.reshape(nq_p, ngroups, GS, C4).transpose(0, 1, 3, 2) \
+        .reshape(nq_p, ngroups, C4 * GS)
 
     grid = (nq_p // q_tile, ncells)
     scores_t, ids_t = pl.pallas_call(
         _fast4_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, m, C4), lambda q, j: (q, 0, 0),
+            pl.BlockSpec((q_tile, ngroups, GS * C4), lambda q, j: (q, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cell_rows, m), lambda q, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -137,7 +149,7 @@ def fast4_window_scan(
         ],
         scratch_shapes=[pltpu.VMEM((cell_rows, q_tile), jnp.float32)],
         interpret=interpret,
-    )(luts_p, codes)
+    )(luts_cm, codes)
 
     scores = scores_t.T[:nq]                       # (nq, nblocks)
     ids_local = ids_t.T[:nq]

@@ -299,8 +299,11 @@ class VAQIndex:
                 ceils[s] = np.quantile(np.maximum(col - offsets[s], 0.0),
                                        1.0 - alpha)
             scales = 255.0 / np.maximum(ceils, 1e-30)
-            # Reconstruction loss of the quantizer on the sampled LUTs.
-            off_l = np.maximum(luts - offsets[None, :, None], 0.0)
+            # Reconstruction loss of the quantizer on the sampled LUTs
+            # (padded centroid entries zeroed out first — the sentinel values
+            # would otherwise turn the loss into inf·0 NaNs).
+            luts_m = np.where(valid[None, :, :], luts, 0.0)
+            off_l = np.maximum(luts_m - offsets[None, :, None], 0.0)
             q = np.minimum(np.floor(off_l * scales[None, :, None]), 255.0)
             err = (off_l * scales[None, :, None] - q) * valid[None, :, :]
             loss = float(np.sum(err * err))
@@ -376,9 +379,17 @@ class VAQIndex:
                     lut8 = scan_jax.quantize_luts(
                         luts, jnp.asarray(self.lut_offsets),
                         jnp.asarray(self.lut_scales))
-                    luts = (lut8.astype(jnp.float32)
-                            / jnp.asarray(self.lut_scales)[None, :, None]
-                            + jnp.asarray(self.lut_offsets)[None, :, None])
+                    deq = (lut8.astype(jnp.float32)
+                           / jnp.asarray(self.lut_scales)[None, :, None]
+                           + jnp.asarray(self.lut_offsets)[None, :, None])
+                    if cfg.methods & SearchMethod.FAST3:
+                        # FAST3 hybrid split (VAQ.cpp:676-683, 1927-2046):
+                        # only the ≤4-bit subspaces go through the quantized
+                        # table; >4-bit ones keep the f32 gather path.
+                        shuf = jnp.asarray(self.bits <= 4)[None, :, None]
+                        luts = jnp.where(shuf, deq, luts)
+                    else:
+                        luts = deq
                 use_fast4 = (
                     bool(cfg.methods & SearchMethod.FAST)
                     and int(self.bits.max()) <= 4
