@@ -111,6 +111,12 @@ class VAQIndex:
     # Device-side caches (not persisted).
     _ev_dev: Optional[jnp.ndarray] = None
 
+    # Multi-device serving state (set by .shard()).
+    _mesh: Optional[object] = None
+    _q_axis: Optional[str] = None
+    _sharded_decoded: Optional[jnp.ndarray] = None
+    _sharded_norms: Optional[jnp.ndarray] = None
+
     # ------------------------------------------------------------------
     # Derived properties
     # ------------------------------------------------------------------
@@ -254,7 +260,11 @@ class VAQIndex:
         device. This is the serving hot path; `search` wraps it with host
         conversion. ``exact`` switches the candidate selection from the fused
         TPU approx-top-k to a true top_k (slow; parity tests). ``backend``:
-        "decoded" (bf16) or "decoded8" (int8 capacity tier)."""
+        "decoded" (bf16) or "decoded8" (int8 capacity tier). When the index
+        was `.shard()`-ed, the mesh-sharded scan is used automatically."""
+        if self._mesh is not None and backend == "decoded":
+            return self._search_device_sharded(queries_dev, k, exact,
+                                               recall_target)
         if backend == "decoded8":
             self._ensure_decoded8()
             qp = jnp.dot(queries_dev, self._eigvecs_device(),
@@ -421,6 +431,46 @@ class VAQIndex:
             dt = time.perf_counter() - t0
             print(f"== search {nq} queries: {dt:.3f}s ({nq / dt:.1f} QPS)")
         return all_d, all_i
+
+    # ------------------------------------------------------------------
+    # Multi-device serving: shard the decoded DB over a mesh (§2.5)
+    # ------------------------------------------------------------------
+    def shard(self, mesh=None, q_axis: Optional[str] = None) -> "VAQIndex":
+        """Row-shard the decoded database over the mesh's "db" axis.
+
+        After this, `search_device`/`search` run the sharded scan with the
+        per-shard top-k merged by one k-row all_gather (the TPU re-design of
+        the reference's disk-resident chunk merge, BitVecEngine.cpp:1599).
+        Pass q_axis="q" on a 2-D (q, db) mesh for query data parallelism.
+        """
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        from vaq_tpu.parallel import make_mesh
+
+        self._ensure_decoded()
+        mesh = mesh if mesh is not None else make_mesh()
+        nshards = mesh.shape["db"]
+        pad = (-self.n_rows) % nshards
+        dec = jnp.pad(self.decoded, ((0, pad), (0, 0)))
+        norms = jnp.pad(self.decoded_norms, (0, pad))
+        self._sharded_decoded = jax.device_put(
+            dec, NamedSharding(mesh, P("db", None)))
+        self._sharded_norms = jax.device_put(
+            norms, NamedSharding(mesh, P("db")))
+        self._mesh = mesh
+        self._q_axis = q_axis
+        return self
+
+    def _search_device_sharded(self, queries_dev, k, exact, recall_target):
+        from vaq_tpu.parallel import sharded_decoded_search
+
+        qp = jnp.dot(queries_dev, self._eigvecs_device(),
+                     preferred_element_type=jnp.float32)
+        return sharded_decoded_search(
+            self._sharded_decoded, self._sharded_norms, qp, k,
+            jnp.int32(self.n_rows), self._mesh, exact=exact,
+            recall_target=recall_target, q_axis=self._q_axis)
 
     # ------------------------------------------------------------------
     # Refine (V17)
