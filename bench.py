@@ -121,7 +121,46 @@ def main():
     batch_ms = (tn - t1) / (args.iters - 1) * 1000.0
     qps = args.batch / (batch_ms / 1000.0)
     log(f"QPS={qps:.1f}  batch latency={batch_ms:.3f}ms (chained marginal)")
-    p50_batch_ms = batch_ms
+
+    # Secondary backends at the same scale.
+    def chain_generic(step_fn, iters):
+        q = qb_dev
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dd, ii = step_fn(q)
+            s = (jnp.sum(dd) + jnp.sum(ii)).astype(jnp.float32)
+            q = qb_dev + s * 1e-30
+        float(jnp.sum(q))
+        return time.perf_counter() - t0
+
+    def measure(step_fn, iters):
+        chain_generic(step_fn, 1)
+        t1 = min(chain_generic(step_fn, 1) for _ in range(2))
+        tn = min(chain_generic(step_fn, iters) for _ in range(2))
+        ms = (tn - t1) / (iters - 1) * 1000.0
+        return args.batch / (ms / 1000.0), ms
+
+    qps8, ms8 = measure(
+        lambda q: idx.search_device(q, args.k, backend="decoded8"),
+        args.iters)
+    log(f"decoded8 QPS={qps8:.1f} ({ms8:.3f}ms/batch)")
+
+    from vaq_tpu.binary import BinaryIndex
+    bidx = BinaryIndex(bit_budget=256).train(
+        base[: min(args.n, 200000)]).encode(base)
+    b01, bpop = bidx.db01, bidx.db_pop
+    from vaq_tpu.binary import hamming_topk_matmul, unpack_bits_01
+    qpk = jnp.asarray(unpack_bits_01(bidx.encode_queries(
+        queries[: args.batch]), bidx.total_bits))
+
+    def ham_step(q):
+        # thread the chain dependency through the packed queries (eps == 0
+        # at runtime but the compiler cannot prove it)
+        eps = (jnp.sum(q) * 1e-30).astype(jnp.int8)
+        return hamming_topk_matmul(b01, bpop, qpk + eps, args.k)
+
+    qps_h, ms_h = measure(ham_step, args.iters)
+    log(f"hamming QPS={qps_h:.1f} ({ms_h:.3f}ms/batch)")
 
     vs_baseline = 1.0
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -142,6 +181,8 @@ def main():
         "recall_at_100": round(recall100, 4),
         "recall_at_10_refined": round(recall10_refined, 4),
         "batch_latency_ms": round(batch_ms, 3),
+        "decoded8_qps": round(qps8, 1),
+        "hamming_qps": round(qps_h, 1),
         "n": args.n,
         "config": args.config,
     }

@@ -179,3 +179,33 @@ def test_progressive_filtering_full_equals_plain_when_no_early_stop():
     # with n_subvectors=1 it must equal the plain scan exactly
     d1, i1 = idx.query_filtering(q, k=10, n_subvectors=1)
     np.testing.assert_array_equal(np.sort(d1, axis=1), np.sort(d_p, axis=1))
+
+
+def test_streaming_naive_scan(tmp_path, sift_like):
+    from vaq_tpu.binary import query_naive_streaming
+    base, queries, gt = sift_like
+    p = str(tmp_path / "base.bin")
+    base.astype(np.float32).tofile(p)
+    d, i = query_naive_streaming(p, base.shape[1], queries[:16], 10,
+                                 batch_rows=700)
+    rec = metrics.avg_recall(i, gt[:16], 10)
+    assert rec == 1.0, rec
+
+
+def test_hamming_cluster_probing(bin_index):
+    from vaq_tpu.binary import build_hamming_clusters, query_hamming_clusters
+    idx, base, queries, gt = bin_index
+    state = build_hamming_clusters(idx, base, n_clusters=16, iters=8)
+    ids = np.asarray(state.bucket_ids)
+    assert len(np.unique(ids[ids >= 0])) == base.shape[0]
+    d_full, i_full = idx.query(queries[:16], 20, backend="packed")
+    d_cl, i_cl = query_hamming_clusters(idx, state, queries[:16], 20,
+                                        n_probe=16)
+    # probing all clusters == full scan (sets equal)
+    for qi in range(16):
+        assert set(i_cl[qi]) == set(np.asarray(i_full)[qi]), qi
+    # partial probing still finds most neighbors
+    _, i_p = query_hamming_clusters(idx, state, queries[:16], 20, n_probe=4)
+    r_full = metrics.avg_recall(np.asarray(i_full), gt[:16], 20)
+    r_p = metrics.avg_recall(i_p, gt[:16], 20)
+    assert r_p > r_full - 0.25

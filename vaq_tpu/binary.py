@@ -532,3 +532,134 @@ class ScalarLUTIndex:
         obj._vaq = VAQIndex.load(path)
         obj.bit_budget = obj._vaq.config.bit_budget
         return obj
+
+
+# ---------------------------------------------------------------------------
+# Disk-resident streaming scan (B9)
+# ---------------------------------------------------------------------------
+
+def query_naive_streaming(path: str, dim: int, queries: np.ndarray, k: int,
+                          batch_rows: int = 262144,
+                          dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact L2 top-k over a dataset streamed from disk in row chunks.
+
+    The reference's disk-resident scan (queryNaiveParallelDiskResident,
+    BitVecEngine.cpp:1441-1624): fread `batch` rows, per-chunk top-k with
+    ids offset by the chunk base (cpp:1488), merge into the global answers
+    (cpp:1599-1611). Here each chunk is one device batch; the merge is a
+    top-k over the concatenated candidates. Works for datasets larger than
+    HBM (or host RAM, via memmap).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vaq_tpu.ops.distances import exact_search
+
+    queries = np.asarray(queries, dtype=np.float32)
+    nq = queries.shape[0]
+    q_dev = jnp.asarray(queries)
+    mm = np.memmap(path, dtype=dtype, mode="r")
+    n = mm.shape[0] // dim
+    best_d = np.full((nq, k), np.inf, dtype=np.float32)
+    best_i = np.full((nq, k), -1, dtype=np.int32)
+    for start in range(0, n, batch_rows):
+        rows = np.asarray(mm[start * dim:(start + min(batch_rows, n - start))
+                             * dim], dtype=np.float32).reshape(-1, dim)
+        kk = min(k, rows.shape[0])
+        d, i = exact_search(q_dev, jnp.asarray(rows), kk)
+        d, i = np.asarray(d), np.asarray(i) + start
+        cd = np.concatenate([best_d, d], axis=1)
+        ci = np.concatenate([best_i, i], axis=1)
+        order = np.argsort(cd, axis=1, kind="stable")[:, :k]
+        best_d = np.take_along_axis(cd, order, axis=1)
+        best_i = np.take_along_axis(ci, order, axis=1)
+    return best_d, best_i
+
+
+# ---------------------------------------------------------------------------
+# Cluster-pruned Hamming queries (B6)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class HammingClusterState:
+    """Bucketed packed bitvectors grouped by (L2) cluster of the originals."""
+
+    centroids: np.ndarray      # (ncl, d) f32 cluster centroids
+    cap: int
+    bucket_words: jnp.ndarray  # (ncl*cap, W) uint32
+    bucket_ids: jnp.ndarray    # (ncl*cap,) i32, -1 padding
+
+
+def build_hamming_clusters(index: BinaryIndex, x_original: np.ndarray,
+                           n_clusters: int, iters: int = 25,
+                           seed: int = DEFAULT_SEED) -> HammingClusterState:
+    """k-means over the original vectors; bitvectors grouped into padded
+    buckets (the loadCentroids/loadClusterInfo + queryWithClusterInfo build,
+    BitVecEngine.cpp:204-449)."""
+    from vaq_tpu import kmeans
+
+    x_original = np.asarray(x_original, dtype=np.float32)
+    cents, assign = kmeans.fit(x_original, n_clusters, iters=iters, seed=seed)
+    packed = np.asarray(index.packed)
+    sizes = np.bincount(assign, minlength=n_clusters)
+    cap = int(sizes.max())
+    w = packed.shape[1]
+    words = np.zeros((n_clusters * cap, w), dtype=np.uint32)
+    ids = np.full(n_clusters * cap, -1, dtype=np.int32)
+    order = np.argsort(assign, kind="stable")
+    start = 0
+    for c in range(n_clusters):
+        members = order[start:start + sizes[c]]
+        start += sizes[c]
+        words[c * cap: c * cap + len(members)] = packed[members]
+        ids[c * cap: c * cap + len(members)] = members
+    import jax.numpy as jnp
+
+    return HammingClusterState(centroids=cents, cap=cap,
+                               bucket_words=jnp.asarray(words),
+                               bucket_ids=jnp.asarray(ids))
+
+
+def query_hamming_clusters(index: BinaryIndex, state: HammingClusterState,
+                           queries: np.ndarray, k: int,
+                           n_probe: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Visit the n_probe nearest clusters per query, Hamming-scan only their
+    buckets (queryWithClusterInfo, BitVecEngine.cpp:537-551: visit nearest
+    clusters until ≥ k members — here a static probe count)."""
+    import jax
+    import jax.numpy as jnp
+
+    queries = np.asarray(queries, dtype=np.float32)
+    qpacked = jnp.asarray(index.encode_queries(queries))
+    cents = state.centroids
+    d2 = ((queries ** 2).sum(1)[:, None] - 2 * queries @ cents.T
+          + (cents ** 2).sum(1)[None, :])
+    probe = np.argsort(d2, axis=1)[:, :n_probe]          # (nq, p)
+    cap, w = state.cap, state.bucket_words.shape[1]
+
+    @jax.jit
+    def scan_one(qwords, clusters):
+        def gather(c):
+            words = jax.lax.dynamic_slice(state.bucket_words,
+                                          (c * cap, 0), (cap, w))
+            ids_c = jax.lax.dynamic_slice(state.bucket_ids, (c * cap,),
+                                          (cap,))
+            x = jnp.bitwise_xor(words, qwords[None, :])
+            dist = jnp.sum(jax.lax.population_count(x), axis=1)
+            return dist.astype(jnp.int32), ids_c
+
+        dists, ids = jax.lax.map(gather, clusters)
+        dists = jnp.where(ids >= 0, dists, jnp.int32(2 ** 30)).reshape(-1)
+        ids = ids.reshape(-1)
+        kk = min(k, dists.shape[0])
+        neg, pos = jax.lax.top_k(-dists, kk)
+        return -neg, ids[pos]
+
+    all_d = np.empty((queries.shape[0], k), dtype=np.int32)
+    all_i = np.full((queries.shape[0], k), -1, dtype=np.int32)
+    for qi in range(queries.shape[0]):
+        d, i = scan_one(qpacked[qi], jnp.asarray(probe[qi]))
+        kk = min(k, d.shape[0])
+        all_d[qi, :kk] = np.asarray(d)[:kk]
+        all_i[qi, :kk] = np.asarray(i)[:kk]
+    return all_d, all_i
