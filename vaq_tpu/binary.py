@@ -54,6 +54,10 @@ def pack_codes(buckets: np.ndarray, bits: np.ndarray) -> np.ndarray:
     Returns (n, ceil(sum(bits)/32)) uint32.
     """
     bits = np.asarray(bits, dtype=np.int64)
+    from vaq_tpu import native
+    packed = native.pack_codes(buckets, bits)
+    if packed is not None:
+        return packed
     total = int(bits.sum())
     nwords = (total + WORD - 1) // WORD
     n = buckets.shape[0]
@@ -567,12 +571,14 @@ def query_naive_streaming(path: str, dim: int, queries: np.ndarray, k: int,
                              * dim], dtype=np.float32).reshape(-1, dim)
         kk = min(k, rows.shape[0])
         d, i = exact_search(q_dev, jnp.asarray(rows), kk)
-        d, i = np.asarray(d), np.asarray(i) + start
-        cd = np.concatenate([best_d, d], axis=1)
-        ci = np.concatenate([best_i, i], axis=1)
-        order = np.argsort(cd, axis=1, kind="stable")[:, :k]
-        best_d = np.take_along_axis(cd, order, axis=1)
-        best_i = np.take_along_axis(ci, order, axis=1)
+        d, i = np.asarray(d), (np.asarray(i) + start).astype(np.int32)
+        from vaq_tpu import native
+        if not native.merge_topk(best_d, best_i, d, i):
+            cd = np.concatenate([best_d, d], axis=1)
+            ci = np.concatenate([best_i, i], axis=1)
+            order = np.argsort(cd, axis=1, kind="stable")[:, :k]
+            best_d = np.take_along_axis(cd, order, axis=1)
+            best_i = np.take_along_axis(ci, order, axis=1)
     return best_d, best_i
 
 

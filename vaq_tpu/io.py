@@ -30,6 +30,10 @@ def _read_vecs(path: str, elem_dtype, max_rows: Optional[int] = None) -> np.ndar
     (IO.hpp:126/198/334) without the fixed-size preallocation.
     """
     elem_dtype = np.dtype(elem_dtype)
+    from vaq_tpu import native
+    fast = native.read_vecs(path, elem_dtype, max_rows)
+    if fast is not None:
+        return fast
     raw = np.fromfile(path, dtype=np.uint8)
     if raw.size == 0:
         return np.zeros((0, 0), dtype=elem_dtype)
