@@ -39,6 +39,9 @@ def main():
                    help="query batch size for the timed runs")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--no-cache", action="store_true")
+    p.add_argument("--no-secondary", action="store_true",
+                   help="skip decoded8/hamming measurements (HBM budget at "
+                        "10M+ rows)")
     args = p.parse_args()
 
     import jax
@@ -140,27 +143,29 @@ def main():
         ms = (tn - t1) / (iters - 1) * 1000.0
         return args.batch / (ms / 1000.0), ms
 
-    qps8, ms8 = measure(
-        lambda q: idx.search_device(q, args.k, backend="decoded8"),
-        args.iters)
-    log(f"decoded8 QPS={qps8:.1f} ({ms8:.3f}ms/batch)")
+    qps8 = ms8 = qps_h = ms_h = None
+    if not args.no_secondary:
+        qps8, ms8 = measure(
+            lambda q: idx.search_device(q, args.k, backend="decoded8"),
+            args.iters)
+        log(f"decoded8 QPS={qps8:.1f} ({ms8:.3f}ms/batch)")
 
-    from vaq_tpu.binary import BinaryIndex
-    bidx = BinaryIndex(bit_budget=256).train(
-        base[: min(args.n, 200000)]).encode(base)
-    b01, bpop = bidx.db01, bidx.db_pop
-    from vaq_tpu.binary import hamming_topk_matmul, unpack_bits_01
-    qpk = jnp.asarray(unpack_bits_01(bidx.encode_queries(
-        queries[: args.batch]), bidx.total_bits))
+        from vaq_tpu.binary import BinaryIndex
+        bidx = BinaryIndex(bit_budget=256).train(
+            base[: min(args.n, 200000)]).encode(base)
+        b01, bpop = bidx.db01, bidx.db_pop
+        from vaq_tpu.binary import hamming_topk_matmul, unpack_bits_01
+        qpk = jnp.asarray(unpack_bits_01(bidx.encode_queries(
+            queries[: args.batch]), bidx.total_bits))
 
-    def ham_step(q):
-        # thread the chain dependency through the packed queries (eps == 0
-        # at runtime but the compiler cannot prove it)
-        eps = (jnp.sum(q) * 1e-30).astype(jnp.int8)
-        return hamming_topk_matmul(b01, bpop, qpk + eps, args.k)
+        def ham_step(q):
+            # thread the chain dependency through the packed queries (eps is
+            # 0 at runtime but the compiler cannot prove it)
+            eps = (jnp.sum(q) * 1e-30).astype(jnp.int8)
+            return hamming_topk_matmul(b01, bpop, qpk + eps, args.k)
 
-    qps_h, ms_h = measure(ham_step, args.iters)
-    log(f"hamming QPS={qps_h:.1f} ({ms_h:.3f}ms/batch)")
+        qps_h, ms_h = measure(ham_step, args.iters)
+        log(f"hamming QPS={qps_h:.1f} ({ms_h:.3f}ms/batch)")
 
     vs_baseline = 1.0
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -181,11 +186,12 @@ def main():
         "recall_at_100": round(recall100, 4),
         "recall_at_10_refined": round(recall10_refined, 4),
         "batch_latency_ms": round(batch_ms, 3),
-        "decoded8_qps": round(qps8, 1),
-        "hamming_qps": round(qps_h, 1),
         "n": args.n,
         "config": args.config,
     }
+    if qps8 is not None:
+        out["decoded8_qps"] = round(qps8, 1)
+        out["hamming_qps"] = round(qps_h, 1)
     if build_s is not None:
         out["build_s"] = round(build_s, 1)
     print(json.dumps(out))

@@ -164,3 +164,42 @@ def test_hierarchical_kmeans_high_bits():
     gt = compute_groundtruth(queries, base, 10)
     rec = metrics.avg_recall(np.asarray(labels), gt, 10)
     assert rec > 0.5, rec
+
+
+def test_crud_add(sift_like):
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base[:3000]).encode(base[:3000])
+    idx._ensure_decoded()
+    new_ids = idx.add(base[3000:3100])
+    assert list(new_ids) == list(range(3000, 3100))
+    assert idx.n_rows == 3100
+    # an added row must be findable as its own nearest neighbor
+    _, labels = idx.search(base[3050:3051], 1)
+    assert labels[0, 0] == 3050
+
+
+def test_crud_delete(sift_like):
+    base, queries, gt = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    _, l0 = idx.search(queries[:8], 5)
+    victim = int(l0[0, 0])
+    idx.delete(victim)
+    _, l1 = idx.search(queries[:8], 5, backend="decoded")
+    assert victim not in l1[0]
+    _, l2 = idx.search(queries[:8], 5, backend="lut")
+    assert victim not in l2[0]
+
+
+def test_crud_reconstruct(sift_like):
+    base, _, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    rec = idx.reconstruct([0, 5])
+    assert rec.shape == (2, idx.total_dim)
+    # reconstruction error should be modest relative to vector norm
+    xp = np.asarray(
+        base[[0, 5]] @ idx.eigvecs[:, : idx.total_dim])
+    rel = np.linalg.norm(rec - xp) / np.linalg.norm(xp)
+    assert rel < 0.5, rel

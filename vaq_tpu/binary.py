@@ -96,25 +96,50 @@ def unpack_bits_01(packed: np.ndarray, total_bits: int) -> np.ndarray:
 # Hamming scans (B5)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("k", "exact"))
+@functools.partial(jax.jit, static_argnames=("k", "exact", "block_rows"))
 def hamming_topk_packed(
     db: jnp.ndarray,        # (n, W) uint32
     queries: jnp.ndarray,   # (nq, W) uint32
     k: int,
     exact: bool = True,
+    block_rows: int = 65536,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """XOR + popcount + lane-sum + top-k (reference query_sort/query_heap,
     BitVecEngine.cpp:61-197 — all four method variants produce the same set;
-    EA has no TPU counterpart)."""
-    x = jnp.bitwise_xor(queries[:, None, :], db[None, :, :])
-    dist = jnp.sum(jax.lax.population_count(x), axis=2).astype(jnp.int32)
-    if exact:
-        neg, idx = jax.lax.top_k(-dist, k)
-    else:
-        neg, idx = jax.lax.approx_max_k(-dist.astype(jnp.float32), k,
-                                        recall_target=0.99)
-        neg = neg.astype(jnp.int32)
-    return -neg, idx
+    EA has no TPU counterpart). Streamed in row blocks so the (nq, block, W)
+    XOR intermediate stays bounded."""
+    n, w = db.shape
+    nq = queries.shape[0]
+    block_rows = min(block_rows, n)
+    pad = (-n) % block_rows
+    db_p = jnp.pad(db, ((0, pad), (0, 0)))
+    blocks = db_p.reshape(-1, block_rows, w)
+
+    def body(carry, blk_and_idx):
+        best_d, best_i = carry
+        blk, bidx = blk_and_idx
+        x = jnp.bitwise_xor(queries[:, None, :], blk[None, :, :])
+        dist = jnp.sum(jax.lax.population_count(x), axis=2).astype(jnp.int32)
+        ids = bidx * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
+        dist = jnp.where(ids[None, :] < n, dist, jnp.int32(2 ** 30))
+        cd = jnp.concatenate([best_d, dist], axis=1)
+        ci = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (nq, block_rows))], axis=1)
+        kk = min(k, cd.shape[1])
+        if exact:
+            neg, pos = jax.lax.top_k(-cd, kk)
+        else:
+            neg, pos = jax.lax.approx_max_k(-cd.astype(jnp.float32), kk,
+                                            recall_target=0.99)
+            neg = neg.astype(jnp.int32)
+            pos = pos.astype(jnp.int32)
+        return (-neg, jnp.take_along_axis(ci, pos, axis=1)), None
+
+    init = (jnp.full((nq, k), 2 ** 30, dtype=jnp.int32),
+            jnp.full((nq, k), -1, dtype=jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(blocks.shape[0], dtype=jnp.int32)))
+    return best_d, best_i
 
 
 @functools.partial(jax.jit, static_argnames=("k", "exact"))

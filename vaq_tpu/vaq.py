@@ -108,6 +108,9 @@ class VAQIndex:
     # Cluster-probe (TI analog) state, managed by vaq_tpu.ivf.
     ivf: Optional[object] = None
 
+    # Tombstoned row ids (see delete()).
+    deleted_ids: Optional[np.ndarray] = None
+
     # Device-side caches (not persisted).
     _ev_dev: Optional[jnp.ndarray] = None
 
@@ -354,8 +357,6 @@ class VAQIndex:
                 f"{self.orig_dim}")
         queries = io.pad_dims(queries, cfg.subspace_num)
         nq = queries.shape[0]
-        all_d = np.empty((nq, k), dtype=np.float32)
-        all_i = np.empty((nq, k), dtype=np.int32)
         use_quant = bool(cfg.methods & (SearchMethod.FAST | SearchMethod.FAST2
                                         | SearchMethod.FAST3)) and \
             self.lut_offsets is not None
@@ -369,6 +370,15 @@ class VAQIndex:
             self._ensure_decoded()
         elif backend == "decoded8":
             self._ensure_decoded8()
+
+        # Tombstones: the decoded backend excludes them via +inf norms; the
+        # LUT/code paths over-fetch and post-filter.
+        k_out = k
+        n_deleted = 0 if self.deleted_ids is None else len(self.deleted_ids)
+        if n_deleted and backend != "decoded":
+            k = min(k + n_deleted, self.n_rows)
+        all_d = np.empty((nq, k), dtype=np.float32)
+        all_i = np.empty((nq, k), dtype=np.int32)
 
         t0 = time.perf_counter()
         for start in range(0, nq, query_batch):
@@ -430,7 +440,72 @@ class VAQIndex:
         if verbose:
             dt = time.perf_counter() - t0
             print(f"== search {nq} queries: {dt:.3f}s ({nq / dt:.1f} QPS)")
+
+        if n_deleted and k_out < k:
+            # strip tombstoned ids, keep the first k_out survivors per row
+            dead = set(self.deleted_ids.tolist())
+            out_d = np.full((nq, k_out), np.inf, dtype=np.float32)
+            out_i = np.full((nq, k_out), -1, dtype=np.int32)
+            for q in range(nq):
+                keep = [j for j in range(k) if int(all_i[q, j]) not in dead]
+                keep = keep[:k_out]
+                out_d[q, : len(keep)] = all_d[q, keep]
+                out_i[q, : len(keep)] = all_i[q, keep]
+            return out_d, out_i
         return all_d, all_i
+
+    # ------------------------------------------------------------------
+    # CRUD (reference get/append/deleteBitV, BitVecEngine.cpp:1626-1636)
+    # ------------------------------------------------------------------
+    def add(self, x_new: np.ndarray) -> np.ndarray:
+        """Encode + append rows; returns their new global ids."""
+        x_new = io.pad_dims(np.asarray(x_new, dtype=np.float32),
+                            self.config.subspace_num)
+        xp = pca.project(x_new, self.eigvecs, self.total_dim)
+        new_codes = _encode_blocked(xp, jnp.asarray(self.centroids),
+                                    block_rows=max(8, x_new.shape[0]))
+        new_codes = new_codes.astype(self.codes.dtype)
+        start = self.n_rows
+        self.codes = jnp.concatenate([self.codes, new_codes], axis=0)
+        self.n_rows += x_new.shape[0]
+        if self.decoded is not None:
+            dec, norms = scan_decoded.decode_db(
+                new_codes, jnp.asarray(self.centroids),
+                block_rows=max(8, x_new.shape[0]))
+            self.decoded = jnp.concatenate([self.decoded, dec], axis=0)
+            self.decoded_norms = jnp.concatenate(
+                [self.decoded_norms, norms])
+        self.decoded8 = None  # rebuilt lazily
+        self._mesh = None     # re-shard explicitly after bulk updates
+        return np.arange(start, self.n_rows)
+
+    def delete(self, ids) -> None:
+        """Tombstone rows: they stop appearing in results. Decoded backends
+        exclude them exactly (their norms become +inf); the LUT path
+        over-fetches and filters."""
+        ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
+        if self.deleted_ids is None:
+            self.deleted_ids = ids
+        else:
+            self.deleted_ids = np.unique(
+                np.concatenate([self.deleted_ids, ids]))
+        if self.decoded is not None:
+            self.decoded_norms = self.decoded_norms.at[
+                jnp.asarray(ids)].set(jnp.inf)
+        self.decoded8 = None
+
+    def get_codes(self, ids) -> np.ndarray:
+        """Raw codes of rows (the getBitV analog)."""
+        return np.asarray(self.codes)[np.atleast_1d(ids)]
+
+    def reconstruct(self, ids) -> np.ndarray:
+        """Decoded (reconstructed) vectors of rows."""
+        codes = self.get_codes(ids).astype(np.int64)
+        out = np.empty((codes.shape[0], self.total_dim), dtype=np.float32)
+        l = self.subs_len
+        for s in range(self.highest_subs):
+            out[:, s * l:(s + 1) * l] = self.centroids[s][codes[:, s]]
+        return out
 
     # ------------------------------------------------------------------
     # Multi-device serving: shard the decoded DB over a mesh (§2.5)
