@@ -35,7 +35,7 @@ def main():
     p.add_argument("--queries", type=int, default=1024)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--config", default="VAQ256m32min7max8var1,HEAP")
-    p.add_argument("--batch", type=int, default=256,
+    p.add_argument("--batch", type=int, default=1024,
                    help="query batch size for the timed runs")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--no-cache", action="store_true")
