@@ -66,3 +66,28 @@ def test_close_idempotent(server_setup):
     srv.close()
     # after close, thread is gone
     assert not srv._thread.is_alive()
+
+
+def test_latency_stats_collected(server_setup):
+    idx, queries, _ = server_setup
+    srv = SearchServer(idx, k=5, max_batch=16, max_wait_ms=5.0)
+    try:
+        futs = [srv.submit(queries[j]) for j in range(20)]
+        [f.result(60) for f in futs]
+        s = srv.stats.summary()
+        assert s["queries"] == 20
+        assert s["qps"] > 0
+        assert s["p50_ms"] > 0
+    finally:
+        srv.close()
+
+
+def test_phase_timer():
+    from vaq_tpu.profiling import PhaseTimer
+    t = PhaseTimer(sync=False)
+    with t.phase("a"):
+        pass
+    with t.phase("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()

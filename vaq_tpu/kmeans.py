@@ -111,6 +111,41 @@ def lloyd(x: jnp.ndarray, init_centroids: jnp.ndarray, iters: int = 25,
     return final
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _lloyd_many(xs: jnp.ndarray, c0: jnp.ndarray, iters: int) -> jnp.ndarray:
+    """vmapped Lloyd over a leading group axis: (G, n, d) × (G, k, d)."""
+
+    def one(x, c_init):
+        def body(c, _):
+            return _lloyd_step(x, c), None
+
+        final, _ = jax.lax.scan(body, c_init, None, length=iters)
+        return final
+
+    return jax.vmap(one)(xs, c0)
+
+
+def fit_many(xs, k: int, iters: int = 25, seed: int = 13517106,
+             ) -> np.ndarray:
+    """Fit G independent k-means problems of identical shape in ONE device
+    program: xs (G, n, d) → centroids (G, k, d).
+
+    This is the batched trainer for per-subspace codebooks (VAQ trains one
+    k-means per subspace, VAQ.cpp:526-661) — a single dispatch instead of a
+    host loop, which matters when dispatch latency is non-trivial.
+    """
+    xs = jnp.asarray(xs, dtype=jnp.float32)
+    g, n, d = xs.shape
+    rng = np.random.default_rng(seed)
+    init_idx = np.stack([
+        rng.choice(n, size=k, replace=False) if n >= k
+        else rng.choice(n, size=k, replace=True)
+        for _ in range(g)
+    ]).astype(np.int32)
+    c0 = jax.vmap(lambda x, idx: x[idx])(xs, jnp.asarray(init_idx))
+    return np.asarray(_lloyd_many(xs, c0, iters))
+
+
 def init_subset(x: np.ndarray, k: int, seed: int) -> np.ndarray:
     """k distinct random rows (arma static_subset)."""
     rng = np.random.default_rng(seed)

@@ -41,9 +41,12 @@ class SearchServer:
         self.recall_target = recall_target
         self._queue: "queue.Queue" = queue.Queue()
         self._running = True
-        self._pending: Optional[Tuple[list, object, object, np.ndarray]] = None
+        self._pending: Optional[Tuple[list, object, object, np.ndarray, float]] = None
         self.batches_served = 0
         self.queries_served = 0
+        from vaq_tpu.profiling import LatencyStats
+
+        self.stats = LatencyStats()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -99,17 +102,19 @@ class SearchServer:
             qs = np.pad(qs, ((0, self.max_batch - nrows), (0, 0)))
         else:
             qs = qs[: self.max_batch]
+        t0 = time.perf_counter()
         d, i = self.index.search_device(
             jnp.asarray(qs), self.k, backend=self.backend,
             recall_target=self.recall_target)
-        return (items, d, i, nrows)
+        return (items, d, i, nrows, t0)
 
     def _flush_pending(self) -> None:
         if self._pending is None:
             return
-        items, d, i, _ = self._pending
+        items, d, i, nrows, t0 = self._pending
         self._pending = None
         d_np, i_np = np.asarray(d), np.asarray(i)
+        self.stats.record(time.perf_counter() - t0, nrows)
         row = 0
         for q, fut in items:
             g = q.shape[0]

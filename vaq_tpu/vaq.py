@@ -182,20 +182,60 @@ class VAQIndex:
             print(f"== bit allocation: {list(bits)} "
                   f"(sum={bits.sum()}, {time.perf_counter() - t0:.3f}s)")
 
-        # Per-subspace codebooks (V6/V7).
+        # Per-subspace codebooks (V6/V7). Subspaces with identical
+        # (centroid count, sample size) — the common uniform-bits case —
+        # train as ONE vmapped device program (kmeans.fit_many); the rest
+        # fall back to per-subspace fits. The projected training matrix is
+        # uploaded once and sliced on-device.
         t0 = time.perf_counter()
-        xp = np.asarray(pca.project(x_train, self.eigvecs, self.total_dim))
+        xp_dev = pca.project(x_train, self.eigvecs, self.total_dim)
+        xp = None  # host copy only materialized by the fallback path
         m, l = self.highest_subs, self.subs_len
         cmax = self.max_centroids
         centroids = np.full((m, cmax, l), PAD_SENTINEL, dtype=np.float32)
         standard_bits = 8
-        for s in range(m):
+        n_train = x_train.shape[0]
+
+        def samp_of(s):
             k = int(self.centroid_counts[s])
-            # Sample size rule from VAQ.cpp:535-537 (with correct sampling —
-            # the reference leaves the slice uninitialized when subsampling).
-            samp = max(k * 256, 256 * (1 << (cfg.bit_budget // cfg.subspace_num)))
+            samp = max(k * 256,
+                       256 * (1 << (cfg.bit_budget // cfg.subspace_num)))
+            return min(samp, n_train)
+
+        groups: dict = {}
+        special = []
+        for s in range(m):
+            if (cfg.hierarchical_kmeans or cfg.binary_kmeans) and \
+                    bits[s] > standard_bits:
+                special.append(s)
+            else:
+                key = (int(self.centroid_counts[s]), samp_of(s))
+                groups.setdefault(key, []).append(s)
+
+        for (k, samp), subs in groups.items():
+            # device budget: (G, samp, k) distance matrices live at once
+            if len(subs) * samp * k > (1 << 29):
+                special.extend(subs)
+                continue
+            perms = np.stack([
+                np.random.default_rng(cfg.seed + s).permutation(
+                    n_train)[:samp] for s in subs]).astype(np.int32)
+            sub_idx = jnp.asarray(subs)
+            xs = jax.vmap(
+                lambda s_i, p: jax.lax.dynamic_slice(
+                    xp_dev, (0, s_i * l), (n_train, l))[p],
+                in_axes=(0, 0))(sub_idx, jnp.asarray(perms))
+            cents = kmeans.fit_many(xs, k, iters=cfg.kmeans_iters,
+                                    seed=cfg.seed)
+            for gi, s in enumerate(subs):
+                centroids[s, :k] = cents[gi]
+
+        for s in special:
+            if xp is None:
+                xp = np.asarray(xp_dev)
+            k = int(self.centroid_counts[s])
             sub = xp[:, s * l:(s + 1) * l]
-            sub_s = sample_rows(sub, min(samp, sub.shape[0]), cfg.seed + s)
+            sub_s = sample_rows(sub, samp_of(s), cfg.seed + s)
             if cfg.hierarchical_kmeans and bits[s] > standard_bits:
                 c = kmeans.hierarchical_fit(sub_s, int(bits[s]),
                                             iters=cfg.kmeans_iters,
