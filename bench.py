@@ -72,8 +72,7 @@ def main():
         log(f"loaded cached index {cache}")
     else:
         t0 = time.perf_counter()
-        idx = vaq_tpu.VAQIndex(cfg).train(base, verbose=True).encode(
-            base, verbose=True)
+        idx = vaq_tpu.VAQIndex(cfg).build(base, verbose=True)
         build_s = time.perf_counter() - t0
         log(f"build: {build_s:.1f}s")
         idx.save(cache)

@@ -203,3 +203,29 @@ def test_crud_reconstruct(sift_like):
         base[[0, 5]] @ idx.eigvecs[:, : idx.total_dim])
     rel = np.linalg.norm(rec - xp) / np.linalg.norm(xp)
     assert rel < 0.5, rel
+
+
+def test_build_equals_train_encode(sift_like):
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    i1 = VAQIndex(cfg).build(base)
+    i2 = VAQIndex(cfg).train(base).encode(base)
+    np.testing.assert_array_equal(np.asarray(i1.codes), np.asarray(i2.codes))
+    _, l1 = i1.search(queries[:8], 5)
+    _, l2 = i2.search(queries[:8], 5)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_high_dim_gist_like():
+    """960-d (GIST1M-shaped) config: L=30 subspaces, uneven structure."""
+    from vaq_tpu.data import make_anisotropic_gaussian
+    from vaq_tpu.ops.distances import compute_groundtruth
+    base, queries = make_anisotropic_gaussian(2000, 960, 16, seed=5,
+                                              decay=0.99)
+    cfg = parse_method_string("VAQ256m32min2max8var1,SORT")
+    idx = VAQIndex(cfg).build(base)
+    assert idx.subs_len == 30
+    gt = compute_groundtruth(queries, base, 10)
+    _, labels = idx.search(queries, 10)
+    rec = metrics.avg_recall(np.asarray(labels), gt, 10)
+    assert rec > 0.5, rec

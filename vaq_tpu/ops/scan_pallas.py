@@ -41,27 +41,29 @@ W_PER_CELL = 8   # windows per grid cell (output tile sublane count)
 GS = 8  # subspaces fused per matmul: K = GS·16 = 128 fills the MXU's depth
 
 
-def _fast4_kernel(lut_ref, codes_ref, score_ref, id_ref, acc_ref):
+def _fast4_kernel(lut_ref, codes_ref, score_ref, id_ref, acc_ref,
+                  onehot_ref):
     """One (query-tile, superblock) cell covering W_PER_CELL windows.
 
-    lut_ref:   (QT, M, 16) f32 VMEM — this query tile's tables.
-    codes_ref: (W·WR, M) i8 VMEM    — this superblock's codes.
-    score_ref: (W, QT) f32          — per-window min distance.
-    id_ref:    (W, QT) i32          — per-window argmin (window-local row).
+    lut_ref:   (QT, M·16) f32 VMEM — this query tile's tables, code-major
+               within each GS-subspace group.
+    codes_ref: (W·WR, M) i8 VMEM   — this superblock's codes.
+    score_ref: (W, QT) f32         — per-window min distance.
+    id_ref:    (W, QT) i32         — per-window argmin (window-local row).
     acc_ref:   (W·WR, QT) f32 scratch.
+    onehot_ref: (W·WR, M·16) bf16 scratch.
 
-    Subspaces are processed GS at a time: the GS one-hots are laid side by
-    side into a (NB, GS·16) block (each row has GS ones) and multiplied with
-    the stacked (GS·16, QT) LUT slab — a K=128 MXU matmul instead of GS
-    K=16 slivers (8× better systolic utilization).
+    Subspaces are one-hot-encoded GS at a time into side-by-side 128-lane
+    slabs of the onehot scratch (each row ends with M ones), then ONE
+    (NB, M·16) × (M·16, QT) MXU matmul produces all ADC sums — maximum
+    systolic depth instead of per-subspace K=16 slivers.
     """
     nb, m = codes_ref.shape
     qt = lut_ref.shape[0]
-    ngroups = lut_ref.shape[1]
+    ngroups = m // GS
     wr = nb // W_PER_CELL
     assert m % GS == 0, "pad subspace count to a multiple of 8"
 
-    acc_ref[:] = jnp.zeros((nb, qt), jnp.float32)
     lanes = GS * C4
     iota_lane = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1)
     code_of_lane = (iota_lane // GS).astype(jnp.float32)  # lane j → j // GS
@@ -76,13 +78,14 @@ def _fast4_kernel(lut_ref, codes_ref, score_ref, id_ref, acc_ref):
         code_lane = jax.lax.dot_general(
             codes_g, sel, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (NB, 128)
-        onehot = (code_lane == code_of_lane).astype(jnp.bfloat16)
-        lut_g = lut_ref[:, g, :]                          # (QT, 128) code-major
-        acc_ref[:] += jax.lax.dot_general(
-            onehot, lut_g.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        onehot_ref[:, g * lanes:(g + 1) * lanes] = (
+            code_lane == code_of_lane).astype(jnp.bfloat16)
+    # One K = ngroups·128 MXU matmul per cell against the stacked LUT slab.
+    acc_ref[:] = jax.lax.dot_general(
+        onehot_ref[:], lut_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
     acc = acc_ref[:].reshape(W_PER_CELL, wr, qt)
     score_ref[:] = jnp.min(acc, axis=1)
@@ -123,16 +126,17 @@ def fast4_window_scan(
         m += pad_m
     ngroups = m // GS
     # Rearrange LUT code-major within each GS-subspace group so the kernel's
-    # lane j ↔ (code = j // GS, subspace = j % GS):
+    # lane j (within group g) ↔ (code = j // GS, subspace = g·GS + j % GS),
+    # then flatten groups into one (nq, M·16) slab.
     luts_cm = luts_p.reshape(nq_p, ngroups, GS, C4).transpose(0, 1, 3, 2) \
-        .reshape(nq_p, ngroups, C4 * GS)
+        .reshape(nq_p, m * C4)
 
     grid = (nq_p // q_tile, ncells)
     scores_t, ids_t = pl.pallas_call(
         _fast4_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, ngroups, GS * C4), lambda q, j: (q, 0, 0),
+            pl.BlockSpec((q_tile, m * C4), lambda q, j: (q, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cell_rows, m), lambda q, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -147,7 +151,10 @@ def fast4_window_scan(
             jax.ShapeDtypeStruct((nblocks, nq_p), jnp.float32),
             jax.ShapeDtypeStruct((nblocks, nq_p), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((cell_rows, q_tile), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((cell_rows, q_tile), jnp.float32),
+            pltpu.VMEM((cell_rows, m * C4), jnp.bfloat16),
+        ],
         interpret=interpret,
     )(luts_cm, codes)
 

@@ -113,6 +113,7 @@ class VAQIndex:
 
     # Device-side caches (not persisted).
     _ev_dev: Optional[jnp.ndarray] = None
+    _train_xp: Optional[jnp.ndarray] = None    # projected train set (build())
 
     # Multi-device serving state (set by .shard()).
     _mesh: Optional[object] = None
@@ -230,6 +231,7 @@ class VAQIndex:
             for gi, s in enumerate(subs):
                 centroids[s, :k] = cents[gi]
 
+        self._train_xp = xp_dev
         for s in special:
             if xp is None:
                 xp = np.asarray(xp_dev)
@@ -252,6 +254,30 @@ class VAQIndex:
         self._ev_dev = None
         if verbose:
             print(f"== codebooks: {time.perf_counter() - t0:.3f}s")
+        return self
+
+    def build(self, x: np.ndarray, verbose: bool = False) -> "VAQIndex":
+        """train + encode sharing one device upload/projection of x."""
+        self.train(x, verbose=verbose)
+        x = io.pad_dims(np.asarray(x, dtype=np.float32),
+                        self.config.subspace_num)
+        t0 = time.perf_counter()
+        xp = self._train_xp if self._train_xp is not None else \
+            pca.project(x, self.eigvecs, self.total_dim)
+        self._train_xp = None
+        codes = _encode_blocked(xp, jnp.asarray(self.centroids))
+        if int(self.bits.max()) <= 8:
+            codes = codes.astype(jnp.uint8)
+        elif int(self.bits.max()) <= 16:
+            codes = codes.astype(jnp.uint16)
+        self.codes = jax.block_until_ready(codes)
+        self.n_rows = x.shape[0]
+        self.decoded = None
+        self.decoded_norms = None
+        self.decoded8 = None
+        if verbose:
+            print(f"== encode {x.shape[0]} rows: "
+                  f"{time.perf_counter() - t0:.3f}s")
         return self
 
     # ------------------------------------------------------------------
