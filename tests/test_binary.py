@@ -209,3 +209,30 @@ def test_hamming_cluster_probing(bin_index):
     r_full = metrics.avg_recall(np.asarray(i_full), gt[:16], 20)
     r_p = metrics.avg_recall(i_p, gt[:16], 20)
     assert r_p > r_full - 0.25
+
+
+def test_binary_crud(sift_like):
+    base, _, _ = sift_like
+    idx = BinaryIndex(bit_budget=64).train(base[:1000]).encode(base[:1000])
+    new_ids = idx.append(base[1000:1010])
+    assert list(new_ids) == list(range(1000, 1010))
+    assert idx.packed.shape[0] == 1010
+    row = idx.get_bitv(1005)
+    np.testing.assert_array_equal(row[0], idx.encode_queries(
+        base[1005:1006])[0])
+    # appended row is its own nearest Hamming neighbor
+    _, labels = idx.query(base[1005:1006], 1)
+    assert labels[0, 0] == 1005
+    idx.delete([0, 1])
+    assert idx.n_rows == 1008
+    assert idx.packed.shape[0] == 1008
+
+
+def test_sign_bit_simple_encoder(sift_like):
+    base, queries, gt = sift_like
+    idx = BinaryIndex(bit_budget=128).train_simple(base).encode(base)
+    assert idx.total_bits == 128
+    assert idx.bits.sum() == 128
+    _, labels = idx.query_rerank(queries, base, 10, factor=30)
+    rec = metrics.avg_recall(labels, gt, 10)
+    assert rec > 0.5, rec

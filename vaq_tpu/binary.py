@@ -187,6 +187,25 @@ class BinaryIndex:
     db_pop: Optional[jnp.ndarray] = None
 
     # ------------------------------------------------------------------
+    def train_simple(self, x_train: np.ndarray) -> "BinaryIndex":
+        """Sign-bit encoder (binaryEncodingSimple, BitVecEngine.hpp:190-274):
+        PCA-project, 1 bit per leading dimension (sign), no bit allocation."""
+        x_train = np.asarray(x_train, dtype=np.float32)
+        self.orig_dim = d = x_train.shape[1]
+        cov = x_train.T @ x_train
+        evals, evecs = np.linalg.eigh(cov.astype(np.float64))
+        order = np.argsort(-evals, kind="stable")
+        self.eigvecs = evecs[:, order].astype(np.float32)
+        nbits = min(self.bit_budget, d)
+        self.bits = np.zeros(d, dtype=np.int64)
+        self.bits[:nbits] = 1
+        # boundary 0 per used dim → bucket = sign bit
+        self.boundaries = np.full((256, d), np.finfo(np.float32).max,
+                                  dtype=np.float32)
+        self.boundaries[0, :nbits] = 0.0
+        self.total_bits = nbits
+        return self
+
     def train(self, x_train: np.ndarray, verbose: bool = False) -> "BinaryIndex":
         x_train = np.asarray(x_train, dtype=np.float32)
         self.orig_dim = d = x_train.shape[1]
@@ -324,6 +343,36 @@ class BinaryIndex:
             cum, stop[None, :, None], axis=0)[0]        # (nq, n)
         neg, idx = jax.lax.top_k(-sel.astype(jnp.int32), k)
         return np.asarray(-neg), np.asarray(idx)
+
+    # ------------------------------------------------------------------
+    # CRUD (reference get/append/deleteBitV, BitVecEngine.cpp:1626-1636)
+    # ------------------------------------------------------------------
+    def get_bitv(self, ids) -> np.ndarray:
+        """Packed bitvector rows."""
+        return np.asarray(self.packed)[np.atleast_1d(ids)]
+
+    def append(self, x_new: np.ndarray) -> np.ndarray:
+        """Encode + append rows; returns new global ids."""
+        packed_new = self.encode_queries(x_new)
+        start = self.n_rows
+        self.packed = jnp.concatenate([self.packed,
+                                       jnp.asarray(packed_new)], axis=0)
+        self.n_rows += packed_new.shape[0]
+        new01 = unpack_bits_01(packed_new, self.total_bits)
+        self.db01 = jnp.concatenate([self.db01, jnp.asarray(new01)], axis=0)
+        self.db_pop = jnp.concatenate(
+            [self.db_pop, jnp.asarray(new01.sum(1).astype(np.int32))])
+        return np.arange(start, self.n_rows)
+
+    def delete(self, ids) -> None:
+        """Remove rows by id (compacting — ids above shift down, like the
+        reference's vector erase)."""
+        ids = np.atleast_1d(np.asarray(ids))
+        keep = np.setdiff1d(np.arange(self.n_rows), ids)
+        self.packed = jnp.asarray(np.asarray(self.packed)[keep])
+        self.db01 = jnp.asarray(np.asarray(self.db01)[keep])
+        self.db_pop = jnp.asarray(np.asarray(self.db_pop)[keep])
+        self.n_rows = len(keep)
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> None:

@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     p.add_argument("--save", default="")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "packed", "matmul"])
+    p.add_argument("--encoding", default="milp",
+                   choices=["milp", "simple"],
+                   help="milp = per-dim bit allocation (binaryEncoding); "
+                        "simple = sign bits (binaryEncodingSimple)")
     p.add_argument("--synthetic", type=int, default=0, metavar="N")
     args = p.parse_args(argv)
 
@@ -68,8 +72,12 @@ def main(argv=None) -> int:
     if args.save and os.path.exists(args.save):
         idx = BinaryIndex.load(args.save)
     else:
-        idx = BinaryIndex(bit_budget=args.bit_budget).train(
-            dataset, verbose=True).encode(dataset)
+        idx = BinaryIndex(bit_budget=args.bit_budget)
+        if args.encoding == "simple":
+            idx.train_simple(dataset)
+        else:
+            idx.train(dataset, verbose=True)
+        idx.encode(dataset)
         if args.save:
             idx.save(args.save)
     print(f"== Encoding time: {time.perf_counter() - t0:.3f}")
