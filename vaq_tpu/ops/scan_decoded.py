@@ -132,14 +132,16 @@ def decoded8_scan_topk(
         col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         norms = jnp.where(col < n_valid, norms, jnp.inf)
 
-    q_folded = queries_proj / dim_scales[None, :]
-    gamma = jnp.max(jnp.abs(q_folded), axis=1, keepdims=True) / 127.0
-    gamma = jnp.maximum(gamma, 1e-30)
-    q8 = jnp.clip(jnp.round(q_folded / gamma), -127, 127).astype(jnp.int8)
-
-    inner = jnp.dot(q8, decoded8.T, preferred_element_type=jnp.int32)
-    # q·x ≈ gamma * inner  (per query row)
-    score = 2.0 * gamma * inner.astype(jnp.float32) - norms[None, :]
+    # Fold the per-dim scales into the query and let XLA fuse the int8→bf16
+    # convert into the matmul: HBM traffic stays int8 (the point of this
+    # tier), the MXU runs bf16, and — measured — the epilogue fuses into
+    # approx_max_k where the int8×int8→i32→f32 form did not. int8 values are
+    # exact in bf16; only the query side carries bf16 rounding, and the k
+    # winners are rescored exactly below.
+    q_folded = (queries_proj / dim_scales[None, :]).astype(jnp.bfloat16)
+    inner = jnp.dot(q_folded, decoded8.astype(jnp.bfloat16).T,
+                    preferred_element_type=jnp.float32)   # ≈ q·x̂
+    score = 2.0 * inner - norms[None, :]
     kk = min(k, n)
     if exact:
         _, idx = jax.lax.top_k(score, kk)
