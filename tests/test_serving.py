@@ -91,3 +91,29 @@ def test_phase_timer():
         pass
     assert t.counts["a"] == 2
     assert "a" in t.report()
+
+
+def test_oversized_group_rejected(server_setup):
+    idx, queries, _ = server_setup
+    srv = SearchServer(idx, k=5, max_batch=8)
+    try:
+        fut = srv.submit(queries[:20])
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            fut.result(10)
+    finally:
+        srv.close()
+
+
+def test_batch_overflow_carries_over(server_setup):
+    idx, queries, _ = server_setup
+    srv = SearchServer(idx, k=5, max_batch=10, max_wait_ms=30.0)
+    try:
+        # 3 groups of 6: no two fit in one 10-batch; all must still be served
+        futs = [srv.submit(queries[i * 6:(i + 1) * 6]) for i in range(3)]
+        res = [f.result(60) for f in futs]
+        for d, i in res:
+            assert i.shape == (6, 5)
+        assert srv.queries_served == 18
+    finally:
+        srv.close()

@@ -40,6 +40,7 @@ class SearchServer:
         self.backend = backend
         self.recall_target = recall_target
         self._queue: "queue.Queue" = queue.Queue()
+        self._carry = None     # request that overflowed the previous batch
         self._running = True
         self._pending: Optional[Tuple[list, object, object, np.ndarray, float]] = None
         self.batches_served = 0
@@ -56,6 +57,11 @@ class SearchServer:
         resolving to (distances, labels) numpy arrays."""
         fut: Future = Future()
         q = np.atleast_2d(np.asarray(query, dtype=np.float32))
+        if q.shape[0] > self.max_batch:
+            fut.set_exception(ValueError(
+                f"group of {q.shape[0]} queries exceeds max_batch="
+                f"{self.max_batch}; split the request"))
+            return fut
         self._queue.put((q, fut))
         return fut
 
@@ -70,12 +76,16 @@ class SearchServer:
 
     # ------------------------------------------------------------------
     def _collect_batch(self) -> Optional[List[Tuple[np.ndarray, Future]]]:
-        try:
-            first = self._queue.get(timeout=0.1)
-        except queue.Empty:
-            return []
-        if first is None:
-            return None
+        if self._carry is not None:
+            first = self._carry
+            self._carry = None
+        else:
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                return []
+            if first is None:
+                return None
         items = [first]
         rows = first[0].shape[0]
         deadline = time.perf_counter() + self.max_wait_s
@@ -89,6 +99,9 @@ class SearchServer:
                 break
             if nxt is None:
                 self._queue.put(None)  # re-signal shutdown
+                break
+            if rows + nxt[0].shape[0] > self.max_batch:
+                self._carry = nxt      # doesn't fit — next batch leads with it
                 break
             items.append(nxt)
             rows += nxt[0].shape[0]
@@ -131,7 +144,13 @@ class SearchServer:
             if not items:
                 self._flush_pending()  # drain while idle
                 continue
-            dispatched = self._dispatch(items)   # async dispatch (device)
-            self._flush_pending()                # fetch previous batch
-            self._pending = dispatched
+            try:
+                dispatched = self._dispatch(items)  # async dispatch (device)
+                self._flush_pending()               # fetch previous batch
+                self._pending = dispatched
+            except Exception as e:                  # fail the batch, not the server
+                self._pending = None
+                for _, fut in items:
+                    if not fut.done():
+                        fut.set_exception(e)
         self._flush_pending()
