@@ -38,7 +38,7 @@ import numpy as np
 from vaq_tpu import bitalloc, io
 from vaq_tpu.ops.distances import exact_search
 from vaq_tpu.ops.scan_jax import refine_topk
-from vaq_tpu.rng import DEFAULT_SEED, sample_rows
+from vaq_tpu.rng import DEFAULT_SEED
 
 WORD = 32
 

@@ -13,7 +13,6 @@ import itertools
 import sys
 import time
 
-import numpy as np
 
 
 def main(argv=None) -> int:

@@ -14,7 +14,7 @@ alone cannot serve fresh queries there).
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ OpenMP private-accumulate + ordered-merge k-means (``KMeans.hpp:562-595``).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ code via ``xla_force_host_platform_device_count`` virtual meshes
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

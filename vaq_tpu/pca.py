@@ -20,7 +20,7 @@ Replaces the reference train-time rotation pipeline (``VAQ.cpp:11-336``):
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -35,7 +35,7 @@ import numpy as np
 from vaq_tpu import bitalloc, io, kmeans, pca
 from vaq_tpu.config import SearchMethod, VAQConfig
 from vaq_tpu.ops import scan_decoded, scan_jax, scan_pallas
-from vaq_tpu.rng import DEFAULT_SEED, sample_rows
+from vaq_tpu.rng import sample_rows
 
 # Sentinel for padded codebook rows: large enough to never win an argmin,
 # small enough that its square stays finite in f32.
