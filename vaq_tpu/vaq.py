@@ -113,7 +113,6 @@ class VAQIndex:
 
     # Device-side caches (not persisted).
     _ev_dev: Optional[jnp.ndarray] = None
-    _train_xp: Optional[jnp.ndarray] = None    # projected train set (build())
 
     # Multi-device serving state (set by .shard()).
     _mesh: Optional[object] = None
@@ -183,25 +182,33 @@ class VAQIndex:
             print(f"== bit allocation: {list(bits)} "
                   f"(sum={bits.sum()}, {time.perf_counter() - t0:.3f}s)")
 
-        # Per-subspace codebooks (V6/V7). Subspaces with identical
-        # (centroid count, sample size) — the common uniform-bits case —
-        # train as ONE vmapped device program (kmeans.fit_many); the rest
-        # fall back to per-subspace fits. The projected training matrix is
-        # uploaded once and sliced on-device.
+        # Per-subspace codebooks (V6/V7). Only *sampled* rows ever reach the
+        # device (≤ 256·2^bits per subspace — the full projection is never
+        # materialized, so build memory is O(sample), not O(n)). Subspaces
+        # with identical (centroid count, sample size) — the common
+        # uniform-bits case — train as ONE vmapped device program.
         t0 = time.perf_counter()
-        xp_dev = pca.project(x_train, self.eigvecs, self.total_dim)
-        xp = None  # host copy only materialized by the fallback path
         m, l = self.highest_subs, self.subs_len
         cmax = self.max_centroids
         centroids = np.full((m, cmax, l), PAD_SENTINEL, dtype=np.float32)
         standard_bits = 8
         n_train = x_train.shape[0]
+        ev_dev = jnp.asarray(self.eigvecs[:, : self.total_dim])
 
         def samp_of(s):
             k = int(self.centroid_counts[s])
             samp = max(k * 256,
                        256 * (1 << (cfg.bit_budget // cfg.subspace_num)))
             return min(samp, n_train)
+
+        def project_sample(s, samp):
+            """Project only subspace s's sampled raw rows (host gather →
+            device matmul against the L relevant rotation columns)."""
+            perm = np.random.default_rng(cfg.seed + s).permutation(
+                n_train)[:samp]
+            rows = jnp.asarray(x_train[perm])
+            return jnp.dot(rows, ev_dev[:, s * l:(s + 1) * l],
+                           preferred_element_type=jnp.float32)
 
         groups: dict = {}
         special = []
@@ -218,26 +225,15 @@ class VAQIndex:
             if len(subs) * samp * k > (1 << 29):
                 special.extend(subs)
                 continue
-            perms = np.stack([
-                np.random.default_rng(cfg.seed + s).permutation(
-                    n_train)[:samp] for s in subs]).astype(np.int32)
-            sub_idx = jnp.asarray(subs)
-            xs = jax.vmap(
-                lambda s_i, p: jax.lax.dynamic_slice(
-                    xp_dev, (0, s_i * l), (n_train, l))[p],
-                in_axes=(0, 0))(sub_idx, jnp.asarray(perms))
+            xs = jnp.stack([project_sample(s, samp) for s in subs])
             cents = kmeans.fit_many(xs, k, iters=cfg.kmeans_iters,
                                     seed=cfg.seed)
             for gi, s in enumerate(subs):
                 centroids[s, :k] = cents[gi]
 
-        self._train_xp = xp_dev
         for s in special:
-            if xp is None:
-                xp = np.asarray(xp_dev)
             k = int(self.centroid_counts[s])
-            sub = xp[:, s * l:(s + 1) * l]
-            sub_s = sample_rows(sub, samp_of(s), cfg.seed + s)
+            sub_s = np.asarray(project_sample(s, samp_of(s)))
             if cfg.hierarchical_kmeans and bits[s] > standard_bits:
                 c = kmeans.hierarchical_fit(sub_s, int(bits[s]),
                                             iters=cfg.kmeans_iters,
@@ -257,37 +253,28 @@ class VAQIndex:
         return self
 
     def build(self, x: np.ndarray, verbose: bool = False) -> "VAQIndex":
-        """train + encode sharing one device upload/projection of x."""
+        """train + encode (encode streams row chunks — see encode())."""
         self.train(x, verbose=verbose)
-        x = io.pad_dims(np.asarray(x, dtype=np.float32),
-                        self.config.subspace_num)
-        t0 = time.perf_counter()
-        xp = self._train_xp if self._train_xp is not None else \
-            pca.project(x, self.eigvecs, self.total_dim)
-        self._train_xp = None
-        codes = _encode_blocked(xp, jnp.asarray(self.centroids))
-        if int(self.bits.max()) <= 8:
-            codes = codes.astype(jnp.uint8)
-        elif int(self.bits.max()) <= 16:
-            codes = codes.astype(jnp.uint16)
-        self.codes = jax.block_until_ready(codes)
-        self.n_rows = x.shape[0]
-        self.decoded = None
-        self.decoded_norms = None
-        self.decoded8 = None
-        if verbose:
-            print(f"== encode {x.shape[0]} rows: "
-                  f"{time.perf_counter() - t0:.3f}s")
-        return self
+        return self.encode(x, verbose=verbose)
 
     # ------------------------------------------------------------------
-    # Encode
+    # Encode — streams host row chunks so device memory stays O(chunk) +
+    # O(codes): the f32 projection of the full dataset is never resident
+    # (a 20M×128d build would otherwise need ~20 GB transiently).
     # ------------------------------------------------------------------
-    def encode(self, x: np.ndarray, verbose: bool = False) -> "VAQIndex":
+    def encode(self, x: np.ndarray, verbose: bool = False,
+               chunk_rows: int = 2_000_000) -> "VAQIndex":
         x = io.pad_dims(np.asarray(x, dtype=np.float32), self.config.subspace_num)
         t0 = time.perf_counter()
-        xp = pca.project(x, self.eigvecs, self.total_dim)
-        codes = _encode_blocked(xp, jnp.asarray(self.centroids))
+        n = x.shape[0]
+        cent_dev = jnp.asarray(self.centroids)
+        ev_dev = jnp.asarray(self.eigvecs[:, : self.total_dim])
+        chunks = []
+        for start in range(0, n, chunk_rows):
+            rows = jnp.asarray(x[start:start + chunk_rows])
+            xp = jnp.dot(rows, ev_dev, preferred_element_type=jnp.float32)
+            chunks.append(_encode_blocked(xp, cent_dev))
+        codes = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
         # Narrow dtype: u8 when every subspace fits (saves HBM + bandwidth).
         if int(self.bits.max()) <= 8:
             codes = codes.astype(jnp.uint8)
