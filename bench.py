@@ -61,9 +61,18 @@ def main():
     cache = os.path.join(cache_dir, rng_tag + ".npz")
 
     t0 = time.perf_counter()
-    base, queries = make_anisotropic_gaussian(
-        args.n, args.d, args.queries, seed=42)
-    log(f"data gen: {time.perf_counter() - t0:.1f}s")
+    data_cache = os.path.join(cache_dir, f"data_n{args.n}_d{args.d}"
+                                         f"_q{args.queries}.npz")
+    if os.path.exists(data_cache) and not args.no_cache:
+        with np.load(data_cache) as z:
+            base, queries = z["base"], z["queries"]
+        log(f"data loaded from cache: {time.perf_counter() - t0:.1f}s")
+    else:
+        base, queries = make_anisotropic_gaussian(
+            args.n, args.d, args.queries, seed=42)
+        if args.n >= 5_000_000:  # cache only when regen is expensive
+            np.savez(data_cache, base=base, queries=queries)
+        log(f"data gen: {time.perf_counter() - t0:.1f}s")
 
     cfg = vaq_tpu.parse_method_string(args.config)
     build_s = None
