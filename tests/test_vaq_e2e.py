@@ -229,3 +229,12 @@ def test_high_dim_gist_like():
     _, labels = idx.search(queries, 10)
     rec = metrics.avg_recall(np.asarray(labels), gt, 10)
     assert rec > 0.5, rec
+
+
+def test_encode_chunk_invariance(sift_like):
+    base, _, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base)
+    c1 = np.asarray(idx.encode(base, chunk_rows=700).codes)
+    c2 = np.asarray(idx.encode(base, chunk_rows=10**6).codes)
+    np.testing.assert_array_equal(c1, c2)
