@@ -50,7 +50,8 @@ def main():
     import vaq_tpu
     from vaq_tpu import metrics
     from vaq_tpu.data import make_anisotropic_gaussian
-    from vaq_tpu.ops.distances import exact_search
+    from vaq_tpu.ops.distances import (exact_search,
+                                       exact_search_host_stream)
 
     log(f"devices: {jax.devices()}")
 
@@ -93,8 +94,12 @@ def main():
         gt = np.load(gt_cache)
         log(f"groundtruth loaded from cache")
     else:
-        gt_d, gt = exact_search(jnp.asarray(queries), jnp.asarray(base), 100)
-        gt = np.asarray(gt)
+        if args.n > 4_000_000:   # keep device memory O(chunk) at scale
+            _, gt = exact_search_host_stream(queries, base, 100)
+        else:
+            gt_d, gt = exact_search(jnp.asarray(queries), jnp.asarray(base),
+                                    100)
+            gt = np.asarray(gt)
         np.save(gt_cache, gt)
         log(f"groundtruth: {time.perf_counter() - t0:.1f}s")
 

@@ -73,3 +73,31 @@ def compute_groundtruth(queries, db, k: int) -> np.ndarray:
     _, labels = exact_search(jnp.asarray(queries, jnp.float32),
                              jnp.asarray(db, jnp.float32), k)
     return np.asarray(labels)
+
+
+def exact_search_host_stream(queries, base_np: np.ndarray, k: int,
+                             chunk_rows: int = 4_000_000):
+    """Exact top-k streaming host chunks to the device.
+
+    For databases whose f32 form doesn't fit HBM alongside an index
+    (exact_search's pad+reshape also transiently duplicates the array on
+    device). Device memory stays O(chunk).
+    """
+    queries_d = jnp.asarray(np.asarray(queries, np.float32))
+    nq = queries_d.shape[0]
+    n = base_np.shape[0]
+    best_d = np.full((nq, k), np.inf, dtype=np.float32)
+    best_i = np.full((nq, k), -1, dtype=np.int32)
+    for start in range(0, n, chunk_rows):
+        chunk = jnp.asarray(np.asarray(base_np[start:start + chunk_rows],
+                                       np.float32))
+        kk = min(k, chunk.shape[0])
+        d, i = exact_search(queries_d, chunk, kk)
+        d = np.asarray(d)
+        i = (np.asarray(i) + start).astype(np.int32)
+        cd = np.concatenate([best_d, d], axis=1)
+        ci = np.concatenate([best_i, i], axis=1)
+        order = np.argsort(cd, axis=1, kind="stable")[:, :k]
+        best_d = np.take_along_axis(cd, order, axis=1)
+        best_i = np.take_along_axis(ci, order, axis=1)
+    return best_d, best_i
