@@ -108,3 +108,14 @@ def test_quantize_luts():
     assert q.dtype == np.uint8
     deq = q.astype(np.float32) / scales[None, :, None] + offsets[None, :, None]
     assert np.max(np.abs(deq - luts)) < 1.0 / scales.min() + 1e-3
+
+
+def test_exact_search_host_stream_matches():
+    from vaq_tpu.ops.distances import exact_search_host_stream
+    rng = np.random.default_rng(7)
+    db = rng.standard_normal((1000, 16)).astype(np.float32)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    d_ref, i_ref = exact_search(jnp.asarray(q), jnp.asarray(db), 7)
+    d, i = exact_search_host_stream(q, db, 7, chunk_rows=300)
+    np.testing.assert_array_equal(i, np.asarray(i_ref))
+    np.testing.assert_allclose(d, np.asarray(d_ref), rtol=1e-5, atol=1e-5)
