@@ -37,7 +37,7 @@ def main():
     p.add_argument("--config", default="VAQ256m32min7max8var1,HEAP")
     p.add_argument("--batch", type=int, default=1024,
                    help="query batch size for the timed runs")
-    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--iters", type=int, default=32)
     p.add_argument("--no-cache", action="store_true")
     p.add_argument("--no-secondary", action="store_true",
                    help="skip decoded8/hamming measurements (HBM budget at "
@@ -151,8 +151,8 @@ def main():
 
     def measure(step_fn, iters):
         chain_generic(step_fn, 1)
-        t1 = min(chain_generic(step_fn, 1) for _ in range(2))
-        tn = min(chain_generic(step_fn, iters) for _ in range(2))
+        t1 = min(chain_generic(step_fn, 1) for _ in range(3))
+        tn = min(chain_generic(step_fn, iters) for _ in range(3))
         ms = (tn - t1) / (iters - 1) * 1000.0
         return args.batch / (ms / 1000.0), ms
 
