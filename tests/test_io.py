@@ -97,3 +97,18 @@ def test_bolt_export(tmp_path):
     assert len(lines) == 48
     assert lines[0] == "0,0,0,0"
     assert lines[-1] == "2,2,2,2"
+
+
+def test_read_dataset_dispatch(tmp_path):
+    x = np.random.default_rng(0).standard_normal((6, 4)).astype(np.float32)
+    p1 = str(tmp_path / "a.fvecs")
+    io.write_fvecs(p1, x)
+    np.testing.assert_array_equal(io.read_dataset(p1), x)
+    p2 = str(tmp_path / "a.bin")
+    x.tofile(p2)
+    np.testing.assert_array_equal(io.read_dataset(p2, dim=4), x)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        io.read_dataset(p2)  # bin without dim
+    with _pt.raises(ValueError):
+        io.read_dataset(str(tmp_path / "a.unknown"))

@@ -64,3 +64,23 @@ def test_cluster_index():
     C = np.array([[1.0, 0.0]])
     a = np.array([0, 0])
     assert cluster_index(a, X, C) == pytest.approx(1.0)
+
+
+def test_knn_classification_accuracy():
+    from vaq_tpu.metrics import knn_classification_accuracy
+    # db classes: row i has class i % 2; predictions retrieve rows of the
+    # query's own class for q0, wrong class for q1
+    pred = np.array([[0, 2, 4], [1, 3, 5]])
+    db_classes = np.array([0, 1] * 3)
+    assert knn_classification_accuracy(pred, np.array([0, 0]), db_classes) \
+        == 0.5
+    assert knn_classification_accuracy(pred, np.array([0, 1]), db_classes) \
+        == 1.0
+
+
+def test_silhouette_separated_blobs():
+    from vaq_tpu.metrics import silhouette_score
+    X = np.array([[0, 0], [0.1, 0], [5, 5], [5.1, 5]], dtype=np.float64)
+    C = np.array([[0.05, 0], [5.05, 5]], dtype=np.float64)
+    a = np.array([0, 0, 1, 1])
+    assert silhouette_score(X, a, C) > 0.9
