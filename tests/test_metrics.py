@@ -84,3 +84,50 @@ def test_silhouette_separated_blobs():
     C = np.array([[0.05, 0], [5.05, 5]], dtype=np.float64)
     a = np.array([0, 0, 1, 1])
     assert silhouette_score(X, a, C) > 0.9
+
+
+def test_formulas_match_reference_checker_randomized():
+    """Cross-validate the vectorized metrics against straightforward loop
+    transcriptions of the reference's offline checker
+    (scripts/compute_accuracy.py:5-41) on random inputs."""
+    rng = np.random.default_rng(11)
+
+    def ref_avg_recall(gt, ans, k):
+        total = 0.0
+        for i in range(len(gt)):
+            ct = 0
+            for p in ans[i]:
+                if p in gt[i][:k]:
+                    ct += 1
+            total += ct / k
+        return total / len(gt)
+
+    def ref_recall_at_r(gt, ans):
+        return sum(1 for i in range(len(gt)) if gt[i][0] in ans[i]) / len(gt)
+
+    def ref_map(gt, ans, k):
+        total = 0.0
+        for i in range(len(gt)):
+            ap = 0.0
+            for r in range(k):
+                if ans[i][r] in gt[i][:k]:
+                    ct = sum(1 for j in range(r + 1)
+                             if ans[i][j] in gt[i][:r + 1])
+                    ap += ct / (r + 1)
+            total += ap / k
+        return total / len(gt)
+
+    from vaq_tpu.metrics import (avg_recall, mean_average_precision,
+                                 recall_at_r)
+    for trial in range(5):
+        nq, k = 7, 6
+        gt = np.stack([rng.permutation(40)[:k] for _ in range(nq)])
+        pred = np.stack([rng.permutation(40)[:k] for _ in range(nq)])
+        gt_l = gt.tolist()
+        pred_l = pred.tolist()
+        assert avg_recall(pred, gt, k) == pytest.approx(
+            ref_avg_recall(gt_l, pred_l, k))
+        assert recall_at_r(pred, gt, k) == pytest.approx(
+            ref_recall_at_r(gt_l, pred_l))
+        assert mean_average_precision(pred, gt, k) == pytest.approx(
+            ref_map(gt_l, pred_l, k))
