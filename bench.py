@@ -42,6 +42,14 @@ def main():
     p.add_argument("--no-secondary", action="store_true",
                    help="skip decoded8/hamming measurements (HBM budget at "
                         "10M+ rows)")
+    p.add_argument("--no-capacity", action="store_true",
+                   help="skip the codes-tier (lut/fast4) measurements")
+    p.add_argument("--no-ivf", action="store_true",
+                   help="skip the IVF cluster-probe measurement")
+    p.add_argument("--no-serving", action="store_true",
+                   help="skip the SearchServer latency measurement")
+    p.add_argument("--ivf-visit", type=float, default=0.10)
+    p.add_argument("--ivf-clusters", type=int, default=1000)
     args = p.parse_args()
 
     import jax
@@ -106,7 +114,7 @@ def main():
     # Recall measurement (full query set, one pass) + refined recall
     # (refine 100 → 10, the reference's Fig.10-style configuration).
     d, labels = idx.search(queries, 100, query_batch=args.batch)
-    recall10 = metrics.avg_recall(labels[:, :10], gt, args.k)
+    recall10 = metrics.avg_recall(labels[:, :10], gt, 10)
     recall100 = metrics.avg_recall(labels, gt, 100)
     _, refined = idx.refine(queries, labels, base, 10)
     recall10_refined = metrics.avg_recall(refined, gt, 10)
@@ -180,6 +188,109 @@ def main():
         qps_h, ms_h = measure(ham_step, args.iters)
         log(f"hamming QPS={qps_h:.1f} ({ms_h:.3f}ms/batch)")
 
+    # Codes-resident capacity tier (VERDICT r1 #1): the XLA gather scan at
+    # this index's codes, and the Pallas fast4 kernel on a FAST-config index
+    # (max 4 bits/subspace, reference constraint VAQ.cpp:1263-1266).
+    lut_qps = lut_ms = fast4_qps = fast4_ms = fast4_rec = None
+    if not args.no_capacity:
+        from vaq_tpu.ops import scan_jax, scan_pallas
+        from vaq_tpu import pca
+
+        qp_dev = pca.project(qb_dev, idx.eigvecs, idx.total_dim)
+        luts_dev = jax.block_until_ready(
+            scan_jax.build_luts(qp_dev, jnp.asarray(idx.centroids)))
+        codes_dev = idx.codes
+
+        def lut_step(q):
+            eps = (jnp.sum(q) * 1e-30)
+            d, i = scan_jax.adc_scan_topk(codes_dev, luts_dev + eps, args.k,
+                                          n_valid=jnp.int32(idx.n_rows))
+            return d, i
+
+        qps_l, ms_l = measure(lut_step, max(2, args.iters // 8))
+        lut_qps, lut_ms = qps_l, ms_l
+        log(f"lut(gather) QPS={lut_qps:.1f} ({lut_ms:.3f}ms/batch)")
+
+        fast_cfg_s = f"VAQ{args.d * 2}m{args.d // 2}min1max4var1,FAST"
+        fast_cache = os.path.join(
+            cache_dir, f"n{args.n}_d{args.d}_"
+                       f"{fast_cfg_s.replace(',', '_')}.npz")
+        if os.path.exists(fast_cache) and not args.no_cache:
+            fidx = vaq_tpu.VAQIndex.load(fast_cache)
+        else:
+            fidx = vaq_tpu.VAQIndex(
+                vaq_tpu.parse_method_string(fast_cfg_s)).build(base)
+            fidx.save(fast_cache)
+        fqp = pca.project(qb_dev, fidx.eigvecs, fidx.total_dim)
+        fluts = jax.block_until_ready(
+            scan_jax.build_luts(fqp, jnp.asarray(fidx.centroids)))
+        fcodes = fidx.codes
+        br = max(256, min(512, fidx.n_rows // (64 * args.k)))
+        br = 1 << (br.bit_length() - 1)
+
+        def fast4_step(q):
+            eps = (jnp.sum(q) * 1e-30)
+            return scan_pallas.fast4_scan_topk(
+                fcodes, fluts + eps, args.k,
+                n_valid=jnp.int32(fidx.n_rows), block_rows=br)
+
+        fast4_qps, fast4_ms = measure(fast4_step, max(2, args.iters // 4))
+        _, fl = fidx.search(queries, args.k, backend="fast4")
+        fast4_rec = metrics.avg_recall(fl, gt, args.k)
+        log(f"fast4(pallas) QPS={fast4_qps:.1f} ({fast4_ms:.3f}ms/batch) "
+            f"recall@{args.k}={fast4_rec:.4f} [{fast_cfg_s}]")
+
+    # IVF cluster-probe tier (VERDICT r1 #3): visit fraction vs exhaustive.
+    ivf_qps = ivf_ms = ivf_rec = None
+    if not args.no_ivf:
+        import dataclasses as _dc
+
+        from vaq_tpu.ivf import IVFSearcher, build_ivf
+
+        ti_cfg = _dc.replace(idx.config, ti_cluster_num=args.ivf_clusters,
+                             ti_segment_num=16, visit=args.ivf_visit)
+        idx.config = ti_cfg
+        t0 = time.perf_counter()
+        state = build_ivf(idx)
+        searcher = IVFSearcher(state, args.ivf_visit)
+        log(f"ivf build ({args.ivf_clusters} clusters): "
+            f"{time.perf_counter() - t0:.1f}s")
+        from vaq_tpu import pca
+        qp_dev = pca.project(qb_dev, idx.eigvecs, idx.total_dim)
+
+        def ivf_step(q):
+            eps = (jnp.sum(q) * 1e-30)
+            return searcher.search(idx, qp_dev + eps, None, args.k,
+                                   exact=False)
+
+        ivf_qps, ivf_ms = measure(ivf_step, max(2, args.iters // 4))
+        d_iv, l_iv = searcher.search(idx, pca.project(
+            queries, idx.eigvecs, idx.total_dim), None, args.k, exact=False)
+        ivf_rec = metrics.avg_recall(np.asarray(l_iv), gt, args.k)
+        log(f"ivf QPS={ivf_qps:.1f} ({ivf_ms:.3f}ms/batch) "
+            f"recall@{args.k}={ivf_rec:.4f} (visit={args.ivf_visit})")
+
+    # Serving latency under continuous batching (VERDICT r1 #9).
+    serving_p50 = serving_p95 = serving_qps = None
+    if not args.no_serving:
+        from vaq_tpu.serving import SearchServer
+
+        srv = SearchServer(idx, k=args.k, max_batch=256, max_wait_ms=2.0)
+        # warm the compiled path
+        srv.search(queries[0])
+        offered = queries[np.arange(2048) % queries.shape[0]]
+        t0 = time.perf_counter()
+        futs = [srv.submit(offered[i]) for i in range(offered.shape[0])]
+        for f in futs:
+            f.result(timeout=120)
+        wall = time.perf_counter() - t0
+        serving_qps = offered.shape[0] / wall
+        lat = srv.stats.summary()
+        serving_p50, serving_p95 = lat.get("p50_ms"), lat.get("p95_ms")
+        srv.close()
+        log(f"serving: {serving_qps:.0f} QPS offered-2048, "
+            f"p50={serving_p50}ms p95={serving_p95}ms")
+
     vs_baseline = 1.0
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "baseline_measured.json")
@@ -205,6 +316,18 @@ def main():
     if qps8 is not None:
         out["decoded8_qps"] = round(qps8, 1)
         out["hamming_qps"] = round(qps_h, 1)
+    if lut_qps is not None:
+        out["lut_qps"] = round(lut_qps, 1)
+        out["fast4_qps"] = round(fast4_qps, 1)
+        out["fast4_recall_at_k"] = round(fast4_rec, 4)
+    if ivf_qps is not None:
+        out["ivf_qps"] = round(ivf_qps, 1)
+        out["ivf_recall_at_k"] = round(ivf_rec, 4)
+        out["ivf_visit"] = args.ivf_visit
+    if serving_p50 is not None:
+        out["serving_qps"] = round(serving_qps, 1)
+        out["serving_p50_ms"] = serving_p50
+        out["serving_p95_ms"] = serving_p95
     if build_s is not None:
         out["build_s"] = round(build_s, 1)
     print(json.dumps(out))

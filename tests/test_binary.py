@@ -236,3 +236,56 @@ def test_sign_bit_simple_encoder(sift_like):
     _, labels = idx.query_rerank(queries, base, 10, factor=30)
     rec = metrics.avg_recall(labels, gt, 10)
     assert rec > 0.5, rec
+
+
+def _filtering_oracle(qpacked, db_packed, k, n_subvectors):
+    """NumPy transliteration of queryFiltering_Sort
+    (BitVecEngine.cpp:1145-1208) for parity checks: per query, accumulate
+    per-subvector Hamming; after each round keep only zero-distance rows;
+    stop when ≤ k of them remain (or last round); answer = top-k by
+    accumulated distance among the survivors entering the stopping round."""
+    def pop(x):
+        return np.unpackbits(x.view(np.uint8)).reshape(
+            x.shape[0], -1).sum(1).astype(np.int64)
+
+    n, w = db_packed.shape
+    s = max(1, min(n_subvectors, w))
+    sub_w = w // s
+    out_d = np.zeros((qpacked.shape[0], k), dtype=np.int64)
+    out_i = np.zeros((qpacked.shape[0], k), dtype=np.int64)
+    for qi in range(qpacked.shape[0]):
+        alive = np.arange(n)
+        cum = np.zeros(n, dtype=np.int64)
+        for j in range(s):
+            lo, hi = j * sub_w, (j + 1) * sub_w if j < s - 1 else w
+            x = np.bitwise_xor(db_packed[alive, lo:hi],
+                               qpacked[qi:qi + 1, lo:hi])
+            cum[alive] += pop(x)
+            zero = alive[cum[alive] == 0]
+            if len(zero) <= k or j == s - 1:
+                order = alive[np.argsort(cum[alive], kind="stable")][:k]
+                out_d[qi] = cum[order]
+                out_i[qi] = order
+                break
+            alive = zero
+    return out_d, out_i
+
+
+def test_progressive_filtering_oracle_parity():
+    """query_filtering must match the reference loop exactly on the
+    (distance multiset per query) — including the survivor-set restriction
+    at the stopping round (ADVICE r1 low)."""
+    from vaq_tpu.binary import BinaryIndex
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((128, 32)).astype(np.float32)
+    idx = BinaryIndex(bit_budget=64).train(base).encode(base)
+    db_packed = np.asarray(idx.packed)
+    # queries equal to db rows guarantee nontrivial zero-distance survivor
+    # sets so the adaptive stop actually engages
+    queries = base[:12]
+    qpacked = idx.encode_queries(queries)
+    for s in (1, 2):
+        d_ref, i_ref = _filtering_oracle(qpacked, db_packed, 5, s)
+        d_got, _ = idx.query_filtering(queries, k=5, n_subvectors=s)
+        np.testing.assert_array_equal(np.sort(d_got, axis=1),
+                                      np.sort(d_ref, axis=1))

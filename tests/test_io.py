@@ -112,3 +112,41 @@ def test_read_dataset_dispatch(tmp_path):
         io.read_dataset(p2)  # bin without dim
     with _pt.raises(ValueError):
         io.read_dataset(str(tmp_path / "a.unknown"))
+
+
+def test_sampled_readers(tmp_path):
+    """Sampled streaming readers (reference IO.hpp:431-518): rows come from
+    the file, are distinct, and the sample is seed-reproducible."""
+    from vaq_tpu.io import (read_bin_sampled, read_bvecs_sampled,
+                            read_fvecs_sampled, write_fvecs)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((500, 12)).astype(np.float32)
+    p = str(tmp_path / "a.fvecs")
+    write_fvecs(p, x)
+    s1 = read_fvecs_sampled(p, 50, seed=7)
+    s2 = read_fvecs_sampled(p, 50, seed=7)
+    np.testing.assert_array_equal(s1, s2)
+    assert s1.shape == (50, 12)
+    # every sampled row is an actual file row, all distinct
+    matches = (s1[:, None, :] == x[None, :, :]).all(2)
+    rows = matches.argmax(1)
+    assert matches.any(1).all()
+    assert len(np.unique(rows)) == 50
+    # oversampling clamps to the file size
+    assert read_fvecs_sampled(p, 10_000).shape == (500, 12)
+
+    pb = str(tmp_path / "a.bin")
+    x.tofile(pb)
+    sb = read_bin_sampled(pb, 12, 64, seed=3)
+    assert sb.shape == (64, 12)
+    assert (sb[:, None, :] == x[None, :, :]).all(2).any(1).all()
+
+    # bvecs
+    xb = rng.integers(0, 256, (100, 8), dtype=np.uint8)
+    pv = str(tmp_path / "a.bvecs")
+    with open(pv, "wb") as f:
+        for row in xb:
+            f.write(np.int32(8).tobytes())
+            f.write(row.tobytes())
+    sv = read_bvecs_sampled(pv, 30, seed=1)
+    assert sv.shape == (30, 8) and sv.dtype == np.float32

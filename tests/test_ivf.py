@@ -25,12 +25,17 @@ def test_ivf_state_shapes(ti_index):
     idx, base, _, _ = ti_index
     st = idx.ivf.state
     assert st.centroids.shape[0] == 32
-    assert st.bucket_ids.shape[0] == 32 * st.cap
+    assert st.bucket_ids.shape == (32, st.cap)
     ids = np.asarray(st.bucket_ids)
     valid = ids[ids >= 0]
     # every row appears exactly once
     assert len(valid) == base.shape[0]
     assert len(np.unique(valid)) == base.shape[0]
+    # capacity bounding keeps bucket padding waste controlled
+    assert st.cap <= max(np.asarray(st.sizes).max(),
+                         int(np.ceil(1.5 * base.shape[0] / 32)))
+    np.testing.assert_array_equal(np.asarray(st.sizes),
+                                  (ids >= 0).sum(axis=1))
 
 
 def test_ivf_full_visit_matches_exhaustive(ti_index):
@@ -83,3 +88,30 @@ def test_ivf_no_padding_ids_returned(ti_index):
     _, labels = idx.search(queries, 10)
     assert labels.min() >= 0
     assert labels.max() < base.shape[0]
+
+
+def test_ivf_visit_until_k_rule(ti_index):
+    """The dynamic rule (VAQ.cpp:1548-1551): even with a tiny visit fraction
+    every query must still see ≥ k candidate members, so k results with
+    finite distances come back."""
+    idx, base, queries, _ = ti_index
+    idx.ivf.visit = 1e-9   # floor: 1 cluster — but rule must extend to ≥ k
+    k = 150                # larger than any single bucket is likely to hold
+    d, labels = idx.search(queries[:8], k)
+    assert (labels >= 0).all()
+    assert np.isfinite(d).all()
+    idx.ivf.visit = idx.config.visit
+
+
+def test_ivf_qcap_overflow_bounded(ti_index):
+    """With heavily correlated queries (all probing the same clusters) the
+    capacity dispatch must still return full result sets (qcap == nq when
+    demand could reach it)."""
+    idx, base, queries, gt = ti_index
+    idx.ivf.visit = 0.25
+    q_same = np.repeat(queries[:1], 64, axis=0)
+    d, labels = idx.search(q_same, 10)
+    # identical queries → identical results, no dropped slots
+    assert (labels >= 0).all()
+    np.testing.assert_array_equal(labels, np.repeat(labels[:1], 64, axis=0))
+    idx.ivf.visit = idx.config.visit

@@ -143,12 +143,24 @@ def test_index_shard_method(mesh8, sift_like):
     dr, ds = np.asarray(d_ref), np.asarray(d_sh)
     lr, ls = np.asarray(l_ref), np.asarray(l_sh)
     np.testing.assert_array_equal(lr[:, 0], ls[:, 0])
-    np.testing.assert_allclose(ds, dr, rtol=0.1, atol=0.1)
-    assert np.all(ds[:, 0] <= dr[:, 0] + 1e-6)
+    # Set-equality modulo the k-boundary: the sharded pool (8 shards × 2k
+    # candidates) is a superset of the single-device pool (2k), so after the
+    # shared exact rescore at most the last slot can differ, and only when
+    # the bf16 scan score disagreed with exact distance right at the
+    # boundary.
+    for q in range(lr.shape[0]):
+        inter = set(lr[q]) & set(ls[q])
+        assert len(inter) >= 9, (q, lr[q], ls[q])
+    # distances: exact rescore both sides → the common sorted prefix agrees
+    # to f32 tolerance, and sharded is never worse at any rank
+    k_common = min(9, dr.shape[1])
+    np.testing.assert_allclose(ds[:, :k_common], dr[:, :k_common],
+                               rtol=1e-4, atol=1e-4)
+    assert np.all(ds <= dr + 1e-3)
     from vaq_tpu import metrics
     r_ref = metrics.avg_recall(lr, gt[:16], 10)
     r_sh = metrics.avg_recall(ls, gt[:16], 10)
-    assert r_sh >= r_ref - 0.01, (r_sh, r_ref)
+    assert r_sh >= r_ref - 1e-9, (r_sh, r_ref)
 
 
 def test_pod_mesh_single_process():
@@ -156,3 +168,20 @@ def test_pod_mesh_single_process():
     mesh, q_axis = pod_mesh()
     assert q_axis is None
     assert mesh.shape["db"] == 8
+
+
+def test_delete_after_shard(sift_like):
+    """ADVICE r1 (high): tombstones created after .shard() must reach the
+    sharded norms (no stale _sharded_norms)."""
+    from vaq_tpu.config import parse_method_string
+    from vaq_tpu.vaq import VAQIndex
+
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    idx.shard(make_mesh())
+    _, l0 = idx.search(queries[:4], 3)
+    victim = int(l0[0, 0])
+    idx.delete(victim)
+    _, l1 = idx.search(queries[:4], 3)
+    assert victim not in l1[0]

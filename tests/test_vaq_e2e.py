@@ -39,13 +39,28 @@ def test_recall_vs_groundtruth(trained):
     k = 100
     d, labels = idx.search(queries, k)
     rec = metrics.avg_recall(labels, gt, k)
-    # ADC with a 128-bit budget on easy synthetic data should retrieve most
-    # of the true top-100. (Reference parity gate is Δ ≤ 0.5% vs its own
-    # measured number; this is a sanity floor so regressions are caught.)
-    assert rec > 0.8, f"avg recall too low: {rec}"
+    # Pinned golden ± 1.5 pt (VERDICT r1 #8: floors would hide silent
+    # regressions). Measured on the fixed-seed fixture, CPU harness,
+    # round 2: decoded recall@100 = 0.88125.
+    assert abs(rec - 0.881) < 0.015, f"recall@100 drifted: {rec}"
     # distances must be non-decreasing per row
     dd = np.asarray(d)
     assert np.all(np.diff(dd, axis=1) >= -1e-4)
+
+
+def test_recall_goldens_at_10(trained):
+    """Pinned recall@10 goldens for the decoded and codes+LUT paths
+    (measured round 2: decoded 0.628125, lut_gather 0.625, refined 1.0)."""
+    idx, base, queries, gt = trained
+    _, l10 = idx.search(queries, 10)
+    rec_dec = metrics.avg_recall(np.asarray(l10), gt, 10)
+    assert abs(rec_dec - 0.628) < 0.015, rec_dec
+    _, g10 = idx.search(queries, 10, backend="lut_gather")
+    rec_lut = metrics.avg_recall(np.asarray(g10), gt, 10)
+    assert abs(rec_lut - 0.625) < 0.015, rec_lut
+    _, l100 = idx.search(queries, 100)
+    _, r10 = idx.refine(queries, l100, base, 10)
+    assert metrics.avg_recall(np.asarray(r10), gt, 10) >= 0.99
 
 
 def test_refine_improves_recall(trained):
@@ -238,3 +253,68 @@ def test_encode_chunk_invariance(sift_like):
     c1 = np.asarray(idx.encode(base, chunk_rows=700).codes)
     c2 = np.asarray(idx.encode(base, chunk_rows=10**6).codes)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_delete_before_decoded_materialization(sift_like):
+    """ADVICE r1 (high): delete() before the decoded cache exists must still
+    exclude the victim once _ensure_decoded/_ensure_decoded8 rebuild norms."""
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    # find the top hit via the codes-only path so decoded stays unbuilt
+    _, l0 = idx.search(queries[:4], 3, backend="lut")
+    victim = int(l0[0, 0])
+    assert idx.decoded is None and idx.decoded8 is None
+    idx.delete(victim)
+    _, l1 = idx.search(queries[:4], 3, backend="decoded")
+    assert victim not in l1[0]
+    _, l2 = idx.search(queries[:4], 3, backend="decoded8")
+    assert victim not in l2[0]
+
+
+def test_delete_persists_through_save_load(tmp_path, sift_like):
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    _, l0 = idx.search(queries[:2], 2)
+    victim = int(l0[0, 0])
+    idx.delete(victim)
+    p = str(tmp_path / "idx.npz")
+    idx.save(p)
+    idx2 = VAQIndex.load(p)
+    _, l1 = idx2.search(queries[:2], 2, backend="decoded")
+    assert victim not in l1[0]
+    _, l2 = idx2.search(queries[:2], 2, backend="lut")
+    assert victim not in l2[0]
+
+
+def test_delete_with_ivf_attached(sift_like):
+    """ADVICE r1 (low): rows deleted after attach_ivf must not be returned
+    by the TI/IVF path (bucket norms/ids are tombstoned in place)."""
+    from vaq_tpu.ivf import attach_ivf
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,TI16var1")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    attach_ivf(idx)
+    _, l0 = idx.search(queries[:4], 5)
+    victim = int(l0[0, 0])
+    idx.delete(victim)
+    _, l1 = idx.search(queries[:4], 5)
+    assert victim not in l1[0]
+
+
+def test_fast4_low_bits_returns_results(sift_like):
+    """ADVICE r1 (high): FAST with max_bits < 4 used to pad the LUT with
+    +inf, poisoning every window score with NaN (0·inf). Pad is 0 now; the
+    Pallas path (interpret-mode on CPU) must return real neighbors."""
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ48m16min1max3var1,FAST")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    idx.learn_quantization(base, sample_ratio=0.05)
+    d4, l4 = idx.search(queries[:8], 5, backend="fast4")
+    assert (l4 >= 0).all(), "fast4 lost all results for max_bits<4"
+    assert np.isfinite(d4).all()
+    # and the winners agree well with the XLA gather scan on the same LUTs
+    _, lg = idx.search(queries[:8], 5, backend="lut_gather")
+    overlap = np.mean([len(set(l4[q]) & set(lg[q])) / 5 for q in range(8)])
+    assert overlap >= 0.6, overlap

@@ -228,7 +228,7 @@ class BinaryIndex:
         lb[: min(b, d)] = (thresh >= cum[: min(b, d)]).astype(np.int64)
         # Per-dim ILP: same family as VAQ's but ub=8, lb as above, ratio cap
         # k>10→0 (hpp:404-420 analog at hpp:413-420).
-        self.bits = _allocate_bits_binary(var, b, lb)
+        self.bits = bitalloc.allocate_bits_per_dim(var, b, lb)
         if verbose:
             nz = self.bits[self.bits > 0]
             print(f"== binary bit alloc: {len(nz)} dims used, "
@@ -272,10 +272,18 @@ class BinaryIndex:
 
     # ------------------------------------------------------------------
     def query(self, queries: np.ndarray, k: int, backend: str = "auto",
-              ) -> Tuple[np.ndarray, np.ndarray]:
-        """Hamming top-k (the reference's query(), BitVecEngine.cpp:509-519;
-        Sort/Heap/EA variants collapse into one scan)."""
+              metric: str = "hamming") -> Tuple[np.ndarray, np.ndarray]:
+        """Bit-space top-k (the reference's query(), BitVecEngine.cpp:509-519;
+        Sort/Heap/EA variants collapse into one scan).
+
+        metric: "hamming" (default) or "jaccard" (reference jaccardDist,
+        DistanceFunctions.hpp:218 — packed backend only).
+        """
         qpacked = self.encode_queries(queries)
+        if metric == "jaccard":
+            from vaq_tpu.ops.distances import jaccard_topk
+            d, i = jaccard_topk(self.packed, jnp.asarray(qpacked), k)
+            return np.asarray(d), np.asarray(i)
         if backend == "auto":
             backend = "matmul" if self.db01 is not None else "packed"
         if backend == "matmul":
@@ -300,11 +308,18 @@ class BinaryIndex:
         return np.asarray(d), np.asarray(i)
 
     def query_naive(self, queries: np.ndarray, x_original: np.ndarray,
-                    k: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Exact L2 over originals (queryNaive, BitVecEngine.cpp:574-720) —
-        doubles as the groundtruth generator."""
-        d, i = exact_search(jnp.asarray(np.asarray(queries, np.float32)),
-                            jnp.asarray(np.asarray(x_original, np.float32)), k)
+                    k: int, metric: str = "l2",
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact scan over originals (queryNaive, BitVecEngine.cpp:574-720) —
+        doubles as the groundtruth generator. metric: "l2" (squared) or
+        "manhattan" (reference manhattanDist, DistanceFunctions.hpp:254)."""
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        x = jnp.asarray(np.asarray(x_original, np.float32))
+        if metric == "manhattan":
+            from vaq_tpu.ops.distances import manhattan_topk
+            d, i = manhattan_topk(q, x, k)
+        else:
+            d, i = exact_search(q, x, k)
         return np.asarray(d), np.asarray(i)
 
     def query_filtering(self, queries: np.ndarray, k: int, n_subvectors: int,
@@ -314,11 +329,14 @@ class BinaryIndex:
 
         Reference semantics: accumulate Hamming distance one sub-vector at a
         time; after each round keep only the rows whose accumulated distance
-        is still 0; stop at the first round where ≤ k such rows remain (or
-        after the last sub-vector) and answer with the top-k by the
-        *accumulated-so-far* distance. The TPU version evaluates all rounds'
-        cumulative distances with static shapes and selects each query's
-        stopping round — identical answers, no data-dependent loop.
+        is still 0 (``pairs.resize(filterCounter)`` after the ascending sort
+        keeps exactly the zero-distance rows); stop at the first round where
+        ≤ k such rows remain (or after the last sub-vector) and answer with
+        the top-k by the accumulated-so-far distance *among the rows that
+        survived every earlier round*. The TPU version evaluates all rounds'
+        cumulative distances with static shapes, selects each query's
+        stopping round, and masks rows whose cumulative distance was nonzero
+        entering that round — identical answers, no data-dependent loop.
         """
         qpacked = jnp.asarray(self.encode_queries(queries))
         w = self.packed.shape[1]
@@ -341,7 +359,13 @@ class BinaryIndex:
         stop = jnp.argmax(stop_ok, axis=0)              # first true (S, nq)→(nq,)
         sel = jnp.take_along_axis(
             cum, stop[None, :, None], axis=0)[0]        # (nq, n)
-        neg, idx = jax.lax.top_k(-sel.astype(jnp.int32), k)
+        # Only rows that survived every earlier round (cumulative distance 0
+        # entering the stopping round) are candidates; round 0 admits all.
+        prev = jnp.take_along_axis(
+            cum, jnp.maximum(stop - 1, 0)[None, :, None], axis=0)[0]
+        alive = (stop[:, None] == 0) | (prev == 0)
+        sel = jnp.where(alive, sel.astype(jnp.int32), jnp.int32(2 ** 30))
+        neg, idx = jax.lax.top_k(-sel, k)
         return np.asarray(-neg), np.asarray(idx)
 
     # ------------------------------------------------------------------
@@ -407,71 +431,6 @@ class BinaryIndex:
         return idx
 
 
-def _allocate_bits_binary(var: np.ndarray, budget: int,
-                          lb: np.ndarray) -> np.ndarray:
-    """Exact solve of the binary engine's per-dim program (hpp:339-507).
-
-    Same DP as `bitalloc.allocate_bits` but with the binary engine's bounds:
-    ub = 8, explicit lb vector, and ratio caps k>10 → 0.
-    """
-    d = var.shape[0]
-    ub = 8
-    ks = np.zeros(d - 1, dtype=np.int64)
-    for i in range(d - 1):
-        ratio = var[i] / var[i + 1] if var[i + 1] != 0 else np.inf
-        k = bitalloc.next_pow2(ratio)
-        if not np.isfinite(ratio) or k > 10 or k < 0:
-            k = 0
-        ks[i] = k
-    # Reuse the DP by monkey-deriving: emulate with allocate_bits' internals.
-    # Simplest: re-run the DP here (same structure).
-    NEG = -np.inf
-    B = int(budget)
-    if B > d * ub:
-        raise ValueError("bit budget exceeds 8 bits/dim capacity")
-    dp = np.full((ub + 1, B + 1), NEG)
-    for x in range(int(lb[0]), ub + 1):
-        if x <= B:
-            dp[x, x] = var[0] * x
-    tables = [dp]
-    for i in range(1, d):
-        k = int(ks[i - 1])
-        prefix = np.maximum.accumulate(dp, axis=0)
-        ndp = np.full((ub + 1, B + 1), NEG)
-        for y in range(int(lb[i]), ub + 1):
-            cap = min(ub, y + k)
-            if y > B:
-                continue
-            src = prefix[cap, : B + 1 - y]
-            ndp[y, y:] = np.where(src > NEG, src + var[i] * y, NEG)
-        dp = ndp
-        tables.append(dp)
-    final = dp[:, B]
-    if not np.any(final > NEG):
-        raise ValueError("binary bit allocation infeasible")
-    target = B / d
-    bits = np.zeros(d, dtype=np.int64)
-    x = int(min(np.flatnonzero(np.isclose(final, final.max())),
-                key=lambda v: abs(v - target)))
-    s = B
-    bits[d - 1] = x
-    for i in range(d - 1, 0, -1):
-        s -= x
-        k = int(ks[i - 1])
-        prev = tables[i - 1][:, s]
-        tgt = dp[x, s + x] - var[i] * x
-        cap = min(ub, x + k)
-        cand = np.flatnonzero(np.isclose(prev[: cap + 1], tgt)
-                              & (prev[: cap + 1] > NEG))
-        if cand.size == 0:
-            cand = np.array([int(np.argmax(prev[: cap + 1]))])
-        x = int(min(cand, key=lambda v: abs(v - target)))
-        bits[i - 1] = x
-        dp = tables[i - 1]
-    assert bits.sum() == B
-    return bits
-
-
 def _quantile_boundaries(xp: np.ndarray, bits: np.ndarray) -> np.ndarray:
     """Matlab-style quantile boundaries per dim (hpp:509-561): for b bits,
     N = 2^b − 1 boundaries at p = (i+1)/(N+1); boundary N-1..255 padded with
@@ -534,7 +493,7 @@ class ScalarLUTIndex:
         thresh = 0.99 * cum[min(b, d) - 1]
         lb = np.zeros(d, dtype=np.int64)
         lb[: min(b, d)] = (thresh >= cum[: min(b, d)]).astype(np.int64)
-        bits = _allocate_bits_binary(var, b, lb)
+        bits = bitalloc.allocate_bits_per_dim(var, b, lb)
 
         # kept dims = leading run of non-zero allocations (hpp:843-849)
         kept = 0
@@ -666,8 +625,9 @@ class HammingClusterState:
 
     centroids: np.ndarray      # (ncl, d) f32 cluster centroids
     cap: int
-    bucket_words: jnp.ndarray  # (ncl*cap, W) uint32
-    bucket_ids: jnp.ndarray    # (ncl*cap,) i32, -1 padding
+    bucket_words: jnp.ndarray  # (ncl, cap, W) uint32
+    bucket_ids: jnp.ndarray    # (ncl, cap) i32, -1 padding
+    sizes: jnp.ndarray         # (ncl,) i32 member counts
 
 
 def build_hamming_clusters(index: BinaryIndex, x_original: np.ndarray,
@@ -684,62 +644,91 @@ def build_hamming_clusters(index: BinaryIndex, x_original: np.ndarray,
     sizes = np.bincount(assign, minlength=n_clusters)
     cap = int(sizes.max())
     w = packed.shape[1]
-    words = np.zeros((n_clusters * cap, w), dtype=np.uint32)
-    ids = np.full(n_clusters * cap, -1, dtype=np.int32)
+    words = np.zeros((n_clusters, cap, w), dtype=np.uint32)
+    ids = np.full((n_clusters, cap), -1, dtype=np.int32)
     order = np.argsort(assign, kind="stable")
     start = 0
     for c in range(n_clusters):
         members = order[start:start + sizes[c]]
         start += sizes[c]
-        words[c * cap: c * cap + len(members)] = packed[members]
-        ids[c * cap: c * cap + len(members)] = members
-    import jax.numpy as jnp
+        words[c, : len(members)] = packed[members]
+        ids[c, : len(members)] = members
 
     return HammingClusterState(centroids=cents, cap=cap,
                                bucket_words=jnp.asarray(words),
-                               bucket_ids=jnp.asarray(ids))
+                               bucket_ids=jnp.asarray(ids),
+                               sizes=jnp.asarray(sizes.astype(np.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "p_visit", "p_max", "qcap", "cb"))
+def _hamming_probe_scan(qp_f32, qwords, bucket_words, bucket_ids, centroids,
+                        sizes, k, p_visit, p_max, qcap, cb=8):
+    """One fused dispatch mirroring ivf.probe_scan for Hamming buckets:
+    probe by L2 over originals → MoE dispatch → blocked XOR+popcount scoring
+    → per-cluster top-k → per-query merge."""
+    from vaq_tpu.ops import probe as probe_ops
+
+    nq = qp_f32.shape[0]
+    ncl, cap, w = bucket_words.shape
+
+    cd = probe_ops.cluster_sq_dists(qp_f32, jnp.asarray(centroids))
+    probe, active = probe_ops.dynamic_probe(cd, sizes, k, p_visit, p_max)
+    table, ok, ent_c, ent_r = probe_ops.dispatch_table(probe, active, ncl,
+                                                       qcap)
+    qw_pad = jnp.concatenate(
+        [qwords, jnp.zeros((1, w), qwords.dtype)], axis=0)
+    qsl = qw_pad[table]                                    # (ncl, qcap, W)
+
+    padc = (-ncl) % cb
+    words_p = jnp.pad(bucket_words, ((0, padc), (0, 0), (0, 0)))
+    ids_p = jnp.pad(bucket_ids, ((0, padc), (0, 0)), constant_values=-1)
+    qsl_p = jnp.pad(qsl, ((0, padc), (0, 0), (0, 0)))
+    nb = (ncl + padc) // cb
+    kk = min(k, cap)
+
+    def score_fn(b):
+        words_b = jax.lax.dynamic_slice_in_dim(words_p, b * cb, cb, 0)
+        ids_b = jax.lax.dynamic_slice_in_dim(ids_p, b * cb, cb, 0)
+        q_b = jax.lax.dynamic_slice_in_dim(qsl_p, b * cb, cb, 0)
+        x = jnp.bitwise_xor(q_b[:, :, None, :], words_b[:, None, :, :])
+        dist = jnp.sum(jax.lax.population_count(x), axis=3).astype(jnp.int32)
+        # negative distance = descending-is-better score; padding → -inf
+        return jnp.where(ids_b[:, None, :] >= 0, -dist.astype(jnp.float32),
+                         -jnp.inf)
+
+    vals, pos = probe_ops.blocked_cluster_topk(score_fn, nb, kk)
+    vals, pos = vals[:ncl], pos[:ncl]
+    ids_k = jnp.take_along_axis(
+        jnp.broadcast_to(bucket_ids[:, None, :], (ncl, qcap, cap)), pos,
+        axis=2)
+    top_s, top_i = probe_ops.gather_merge_topk(vals, ids_k, ok, ent_c, ent_r,
+                                               nq, k)
+    dist = jnp.where(jnp.isfinite(top_s), -top_s, jnp.float32(2 ** 30))
+    return dist.astype(jnp.int32), top_i
 
 
 def query_hamming_clusters(index: BinaryIndex, state: HammingClusterState,
                            queries: np.ndarray, k: int,
                            n_probe: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Visit the n_probe nearest clusters per query, Hamming-scan only their
-    buckets (queryWithClusterInfo, BitVecEngine.cpp:537-551: visit nearest
-    clusters until ≥ k members — here a static probe count)."""
-    import jax
-    import jax.numpy as jnp
+    """Visit each query's nearest clusters — at least ``n_probe``, and at
+    least until ≥ k members have been seen (the reference's dynamic rule,
+    queryWithClusterInfo BitVecEngine.cpp:204-449/537-551) — and
+    Hamming-scan only their buckets, in ONE batched device dispatch
+    (round-2 redesign of the per-query host loop, VERDICT r1 #4)."""
+    from vaq_tpu.ops import probe as probe_ops
 
     queries = np.asarray(queries, dtype=np.float32)
-    qpacked = jnp.asarray(index.encode_queries(queries))
-    cents = state.centroids
-    d2 = ((queries ** 2).sum(1)[:, None] - 2 * queries @ cents.T
-          + (cents ** 2).sum(1)[None, :])
-    probe = np.argsort(d2, axis=1)[:, :n_probe]          # (nq, p)
-    cap, w = state.cap, state.bucket_words.shape[1]
-
-    @jax.jit
-    def scan_one(qwords, clusters):
-        def gather(c):
-            words = jax.lax.dynamic_slice(state.bucket_words,
-                                          (c * cap, 0), (cap, w))
-            ids_c = jax.lax.dynamic_slice(state.bucket_ids, (c * cap,),
-                                          (cap,))
-            x = jnp.bitwise_xor(words, qwords[None, :])
-            dist = jnp.sum(jax.lax.population_count(x), axis=1)
-            return dist.astype(jnp.int32), ids_c
-
-        dists, ids = jax.lax.map(gather, clusters)
-        dists = jnp.where(ids >= 0, dists, jnp.int32(2 ** 30)).reshape(-1)
-        ids = ids.reshape(-1)
-        kk = min(k, dists.shape[0])
-        neg, pos = jax.lax.top_k(-dists, kk)
-        return -neg, ids[pos]
-
-    all_d = np.empty((queries.shape[0], k), dtype=np.int32)
-    all_i = np.full((queries.shape[0], k), -1, dtype=np.int32)
-    for qi in range(queries.shape[0]):
-        d, i = scan_one(qpacked[qi], jnp.asarray(probe[qi]))
-        kk = min(k, d.shape[0])
-        all_d[qi, :kk] = np.asarray(d)[:kk]
-        all_i[qi, :kk] = np.asarray(i)[:kk]
-    return all_d, all_i
+    nq = queries.shape[0]
+    qwords = jnp.asarray(index.encode_queries(queries))
+    ncl = state.centroids.shape[0]
+    p_visit = max(1, min(int(n_probe), ncl))
+    cum = np.cumsum(np.sort(np.asarray(state.sizes)))
+    p_floor = int(np.searchsorted(cum, k) + 1)
+    p_max = min(ncl, max(p_visit, p_floor))
+    qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl)
+    cb = min(ncl, max(1, (1 << 23) // max(qcap * state.cap, 1)))
+    d, i = _hamming_probe_scan(
+        jnp.asarray(queries), qwords, state.bucket_words, state.bucket_ids,
+        state.centroids, state.sizes, k, p_visit, p_max, qcap, cb=cb)
+    return np.asarray(d), np.asarray(i)

@@ -53,50 +53,38 @@ def smoothness_bounds(variances: np.ndarray) -> np.ndarray:
     return ks
 
 
-def allocate_bits(
-    variances: Sequence[float],
-    bit_budget: int,
-    min_bits: int,
-    max_bits: int,
-    cum_var: Optional[Sequence[float]] = None,
-    percent_var_explained: float = 1.0,
+def solve_budgeted_dp(
+    values: np.ndarray,
+    budget: int,
+    ub: int,
+    lbs: np.ndarray,
+    ks: np.ndarray,
 ) -> np.ndarray:
-    """Exact solution of the variance-aware bit-allocation ILP.
+    """Exact DP for the shared ILP family (one solver for both engines).
 
-    Args:
-      variances: per-subspace explained variance (already normalized and
-        clamped positive by the caller, as VAQ.cpp:301-320 does).
-      bit_budget: total bits to distribute (Σ x_i = budget, exactly).
-      min_bits / max_bits: per-subspace bounds; min only applies while the
-        cumulative variance is ≤ percent_var_explained.
-      cum_var: cumulative variance sums (defaults to cumsum(variances)).
-      percent_var_explained: threshold for the min-bits lower bound.
+        maximize   Σ_i values_i · x_i
+        s.t.       Σ_i x_i = budget
+                   lbs_i ≤ x_i ≤ ub,  x_i integer
+                   x_i − x_{i+1} ≤ ks_i
 
-    Returns:
-      int64 array of per-subspace bit counts.
+    This parameterization covers both the VAQ per-subspace program
+    (``VAQ.cpp:338-524``) and the binary engine's per-dimension program
+    (``BitVecEngine.hpp:339-507``) — same constraint family, different
+    (ub, lbs, ratio-cap) choices supplied by the wrappers below.
 
-    Raises:
-      ValueError if the ILP is infeasible (the reference asserts there,
-      VAQ.cpp:452-456).
+    Raises ValueError if infeasible (the reference asserts there,
+    VAQ.cpp:452-456).
     """
-    v = np.asarray(variances, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
     m = v.shape[0]
-    if m == 0:
-        raise ValueError("no subspaces")
-    if cum_var is None:
-        cum_var = np.cumsum(v)
-    cum_var = np.asarray(cum_var, dtype=np.float64)
-
-    ub = int(max_bits)
-    lbs = np.where(cum_var <= percent_var_explained, int(min_bits), 0).astype(
-        np.int64
-    )
-    ks = smoothness_bounds(v)
-    B = int(bit_budget)
+    lbs = np.asarray(lbs, dtype=np.int64)
+    ks = np.asarray(ks, dtype=np.int64)
+    ub = int(ub)
+    B = int(budget)
 
     if B > m * ub or B < int(lbs.sum()):
         raise ValueError(
-            f"bit budget {B} infeasible for {m} subspaces with bounds "
+            f"bit budget {B} infeasible for {m} variables with bounds "
             f"[{lbs.min()},{ub}]"
         )
 
@@ -161,6 +149,65 @@ def allocate_bits(
     assert np.all(bits <= ub) and np.all(bits >= lbs)
     assert np.all(bits[:-1] - bits[1:] <= ks)
     return bits
+
+
+def allocate_bits(
+    variances: Sequence[float],
+    bit_budget: int,
+    min_bits: int,
+    max_bits: int,
+    cum_var: Optional[Sequence[float]] = None,
+    percent_var_explained: float = 1.0,
+) -> np.ndarray:
+    """Exact solution of the VAQ variance-aware bit-allocation ILP.
+
+    Args:
+      variances: per-subspace explained variance (already normalized and
+        clamped positive by the caller, as VAQ.cpp:301-320 does).
+      bit_budget: total bits to distribute (Σ x_i = budget, exactly).
+      min_bits / max_bits: per-subspace bounds; min only applies while the
+        cumulative variance is ≤ percent_var_explained.
+      cum_var: cumulative variance sums (defaults to cumsum(variances)).
+      percent_var_explained: threshold for the min-bits lower bound.
+
+    Returns:
+      int64 array of per-subspace bit counts.
+    """
+    v = np.asarray(variances, dtype=np.float64)
+    if v.shape[0] == 0:
+        raise ValueError("no subspaces")
+    if cum_var is None:
+        cum_var = np.cumsum(v)
+    cum_var = np.asarray(cum_var, dtype=np.float64)
+    lbs = np.where(cum_var <= percent_var_explained, int(min_bits), 0).astype(
+        np.int64
+    )
+    return solve_budgeted_dp(v, bit_budget, int(max_bits), lbs,
+                             smoothness_bounds(v))
+
+
+def allocate_bits_per_dim(
+    variances: np.ndarray,
+    bit_budget: int,
+    lbs: np.ndarray,
+    max_bits: int = 8,
+    ratio_cap: int = 10,
+) -> np.ndarray:
+    """The binary engine's per-*dimension* program
+    (``BitVecEngine.hpp:339-507``): ub = 8 bits/dim, explicit lower-bound
+    vector, and the smoothness cap rule k > ratio_cap → 0 (hpp:413-420) —
+    solved by the same exact DP (replacing the reference's GLPK simplex +
+    trunc/round-up)."""
+    v = np.asarray(variances, dtype=np.float64)
+    m = v.shape[0]
+    ks = np.zeros(m - 1, dtype=np.int64)
+    for i in range(m - 1):
+        ratio = v[i] / v[i + 1] if v[i + 1] != 0 else math.inf
+        k = next_pow2(ratio)
+        if not math.isfinite(ratio) or k > ratio_cap or k < 0:
+            k = 0
+        ks[i] = k
+    return solve_budgeted_dp(v, bit_budget, int(max_bits), lbs, ks)
 
 
 def fixup_under_budget(bits: np.ndarray, bit_budget: int, max_bits: int) -> np.ndarray:

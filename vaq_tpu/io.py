@@ -94,6 +94,62 @@ def write_ivecs(path: str, x: np.ndarray) -> None:
 # Headerless binary / ascii (IO.hpp:235-289, 23-88)
 # ---------------------------------------------------------------------------
 
+def read_vecs_sampled(path: str, elem_dtype, n_sample: int,
+                      seed: int = 13517106) -> np.ndarray:
+    """Sample ``n_sample`` rows from a {f,b,i}vecs file WITHOUT loading it
+    (reference readBVecsFromExternalSample, IO.hpp:431-480).
+
+    The reference streams 1M-row batches and takes ``rand() % batch`` rows
+    with replacement from each; here the file is memory-mapped and a seeded
+    global sample of distinct row indices is gathered (sorted, so access is
+    sequential) — same O(sample) memory, better statistics (no duplicates,
+    no batch stratification artifacts).
+    """
+    elem_dtype = np.dtype(elem_dtype)
+    size = os.path.getsize(path)
+    if size < 4:
+        return np.zeros((0, 0), dtype=elem_dtype)
+    with open(path, "rb") as f:
+        dim = int(np.frombuffer(f.read(4), dtype=np.int32)[0])
+    rec = 4 + dim * elem_dtype.itemsize
+    total = size // rec
+    rng = np.random.default_rng(seed)
+    take = min(n_sample, total)
+    idx = np.sort(rng.choice(total, size=take, replace=False))
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    out = np.empty((take, dim), dtype=elem_dtype)
+    for o, r in enumerate(idx):
+        start = r * rec + 4
+        out[o] = np.frombuffer(
+            mm[start:start + dim * elem_dtype.itemsize], dtype=elem_dtype)
+    return out
+
+
+def read_fvecs_sampled(path: str, n_sample: int,
+                       seed: int = 13517106) -> np.ndarray:
+    return read_vecs_sampled(path, np.float32, n_sample, seed)
+
+
+def read_bvecs_sampled(path: str, n_sample: int,
+                       seed: int = 13517106) -> np.ndarray:
+    return read_vecs_sampled(path, np.uint8, n_sample, seed).astype(
+        np.float32)
+
+
+def read_bin_sampled(path: str, dim: int, n_sample: int, dtype=np.float32,
+                     seed: int = 13517106) -> np.ndarray:
+    """Sampled reads of a headerless binary file (reference
+    readFromExternalBinSample, IO.hpp:482-518) via memmap row gather —
+    works for files far larger than RAM."""
+    dtype = np.dtype(dtype)
+    total = os.path.getsize(path) // (dim * dtype.itemsize)
+    rng = np.random.default_rng(seed)
+    take = min(n_sample, total)
+    idx = np.sort(rng.choice(total, size=take, replace=False))
+    mm = np.memmap(path, dtype=dtype, mode="r", shape=(total, dim))
+    return np.asarray(mm[idx], dtype=dtype)
+
+
 def read_bin(path: str, dim: int, dtype=np.float32,
              max_rows: Optional[int] = None) -> np.ndarray:
     """Read a headerless binary file of `dim`-wide rows (IO.hpp:261)."""

@@ -75,6 +75,90 @@ def compute_groundtruth(queries, db, k: int) -> np.ndarray:
     return np.asarray(labels)
 
 
+def jaccard_dists(q_packed: jnp.ndarray, db_packed: jnp.ndarray) -> jnp.ndarray:
+    """Jaccard distance between packed bit-vectors
+    (reference ``jaccardDist``, DistanceFunctions.hpp:218-230):
+
+        1 − popcount(a & b) / popcount(a | b),   0 when the union is empty.
+
+    q_packed: (nq, W) uint32; db_packed: (n, W) uint32 → (nq, n) f32.
+    """
+    inter = jnp.sum(jax.lax.population_count(
+        jnp.bitwise_and(q_packed[:, None, :], db_packed[None, :, :])), axis=2)
+    union = jnp.sum(jax.lax.population_count(
+        jnp.bitwise_or(q_packed[:, None, :], db_packed[None, :, :])), axis=2)
+    frac = inter.astype(jnp.float32) / jnp.maximum(
+        union.astype(jnp.float32), 1.0)
+    return jnp.where(union == 0, 0.0, 1.0 - frac)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def jaccard_topk(db_packed: jnp.ndarray, q_packed: jnp.ndarray, k: int,
+                 block_rows: int = 65536) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked Jaccard top-k over packed bit-vectors (ascending distance)."""
+    n, w = db_packed.shape
+    nq = q_packed.shape[0]
+    block_rows = min(block_rows, n)
+    pad = (-n) % block_rows
+    dbp = jnp.pad(db_packed, ((0, pad), (0, 0)))
+    blocks = dbp.reshape(-1, block_rows, w)
+
+    def body(carry, blk_and_idx):
+        best_d, best_i = carry
+        blk, bidx = blk_and_idx
+        d = jaccard_dists(q_packed, blk)
+        ids = bidx * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
+        d = jnp.where(ids[None, :] < n, d, jnp.inf)
+        cd = jnp.concatenate([best_d, d], axis=1)
+        ci = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (nq, block_rows))], axis=1)
+        neg, pos = jax.lax.top_k(-cd, k)
+        return (-neg, jnp.take_along_axis(ci, pos, axis=1)), None
+
+    init = (jnp.full((nq, k), jnp.inf),
+            jnp.full((nq, k), -1, dtype=jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(blocks.shape[0], dtype=jnp.int32)))
+    return best_d, best_i
+
+
+def manhattan_dists(q: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """(nq, d) × (n, d) → (nq, n) L1 distances (reference ``manhattanDist``,
+    DistanceFunctions.hpp:254-263). No matmul identity exists for L1, so
+    this is a broadcasted |q − x| reduction (VPU work; block at scale)."""
+    return jnp.sum(jnp.abs(q[:, None, :] - x[None, :, :]), axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows"))
+def manhattan_topk(queries: jnp.ndarray, db: jnp.ndarray, k: int,
+                   block_rows: int = 8192) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Blocked L1 top-k (the Manhattan analog of :func:`exact_search`)."""
+    n, d = db.shape
+    nq = queries.shape[0]
+    block_rows = min(block_rows, n)
+    pad = (-n) % block_rows
+    dbp = jnp.pad(db, ((0, pad), (0, 0)))
+    blocks = dbp.reshape(-1, block_rows, d)
+
+    def body(carry, blk_and_idx):
+        best_d, best_i = carry
+        blk, bidx = blk_and_idx
+        d1 = manhattan_dists(queries, blk)
+        ids = bidx * block_rows + jnp.arange(block_rows, dtype=jnp.int32)
+        d1 = jnp.where(ids[None, :] < n, d1, jnp.inf)
+        cd = jnp.concatenate([best_d, d1], axis=1)
+        ci = jnp.concatenate(
+            [best_i, jnp.broadcast_to(ids, (nq, block_rows))], axis=1)
+        neg, pos = jax.lax.top_k(-cd, k)
+        return (-neg, jnp.take_along_axis(ci, pos, axis=1)), None
+
+    init = (jnp.full((nq, k), jnp.inf),
+            jnp.full((nq, k), -1, dtype=jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(
+        body, init, (blocks, jnp.arange(blocks.shape[0], dtype=jnp.int32)))
+    return best_d, best_i
+
+
 def exact_search_host_stream(queries, base_np: np.ndarray, k: int,
                              chunk_rows: int = 4_000_000):
     """Exact top-k streaming host chunks to the device.

@@ -92,6 +92,119 @@ def _fast4_kernel(lut_ref, codes_ref, score_ref, id_ref, acc_ref,
     id_ref[:] = jnp.argmin(acc, axis=1).astype(jnp.int32)
 
 
+def _fast4_kernel_v2(lut_ref, codes_ref, packed_ref, acc_ref):
+    """Round-2 kernel: group-wise matmul accumulation + bitcast-packed
+    min/argmin.
+
+    Differences vs ``_fast4_kernel`` (measured on v5e, see BASELINE.md):
+    * the one-hot is built and consumed one GS-subspace group (128 lanes) at
+      a time, each immediately folded into ``acc`` by an accumulating K=128
+      MXU matmul — the (NB, M·16) bf16 scratch (8 MB/cell of VMEM traffic)
+      disappears;
+    * min+argmin over the window axis collapse into ONE ``jnp.min``: scores
+      are clamped ≥ 0, bitcast to int32 (order-preserving for non-negative
+      floats), the low ``idx_bits`` mantissa bits are replaced by the
+      window-local row index, and the packed int is minimized — ties break
+      toward the smaller row index, and the distance nibble lost to the
+      packing is recovered by the caller's exact rescore.
+    """
+    nb, m = codes_ref.shape
+    qt = lut_ref.shape[0]
+    ngroups = m // GS
+    wr = nb // W_PER_CELL
+    idx_bits = max(1, (wr - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+
+    lanes = GS * C4
+    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1)
+    code_of_lane = (iota_lane // GS).astype(jnp.float32)
+    s_row = jax.lax.broadcasted_iota(jnp.int32, (GS, lanes), 0)
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (GS, lanes), 1)
+    sel = (s_col % GS == s_row).astype(jnp.bfloat16)
+
+    for g in range(ngroups):
+        codes_g = codes_ref[:, g * GS:(g + 1) * GS].astype(jnp.bfloat16)
+        code_lane = jax.lax.dot_general(
+            codes_g, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (NB, 128)
+        onehot = (code_lane == code_of_lane).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            onehot, lut_ref[:, g * lanes:(g + 1) * lanes].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (NB, QT)
+        if g == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] = acc_ref[:] + part
+
+    # pack (score, window-local idx) into one int32 and min-reduce
+    acc = jnp.maximum(acc_ref[:], 0.0)
+    acc_i = jax.lax.bitcast_convert_type(acc, jnp.int32)
+    local = jax.lax.broadcasted_iota(jnp.int32, (nb, qt), 0) % wr
+    packed = (acc_i & ~idx_mask) | local
+    packed_ref[:] = jnp.min(packed.reshape(W_PER_CELL, wr, qt), axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_rows", "q_tile", "interpret"))
+def fast4_window_scan_v2(
+    codes: jnp.ndarray,
+    luts: jnp.ndarray,
+    block_rows: int = 512,
+    q_tile: int = 128,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(query, window) best candidate via the v2 kernel (see above).
+    Same contract as :func:`fast4_window_scan`."""
+    n, m = codes.shape
+    nq = luts.shape[0]
+    cell_rows = W_PER_CELL * block_rows
+    assert n % cell_rows == 0, "pad codes to a multiple of 8*block_rows"
+    nblocks = n // block_rows
+    ncells = n // cell_rows
+    wr = block_rows
+    idx_bits = max(1, (wr - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+    pad_q = (-nq) % q_tile
+    luts_p = jnp.pad(luts, ((0, pad_q), (0, 0), (0, 0)))
+    nq_p = luts_p.shape[0]
+    if codes.dtype != jnp.int8:
+        codes = codes.astype(jnp.int8)
+    pad_m = (-m) % GS
+    if pad_m:
+        codes = jnp.pad(codes, ((0, 0), (0, pad_m)))
+        luts_p = jnp.pad(luts_p, ((0, 0), (0, pad_m), (0, 0)))
+        m += pad_m
+    ngroups = m // GS
+    luts_cm = luts_p.reshape(nq_p, ngroups, GS, C4).transpose(0, 1, 3, 2) \
+        .reshape(nq_p, m * C4)
+
+    grid = (nq_p // q_tile, ncells)
+    packed_t = pl.pallas_call(
+        _fast4_kernel_v2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((q_tile, m * C4), lambda q, j: (q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cell_rows, m), lambda q, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((W_PER_CELL, q_tile), lambda q, j: (j, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, nq_p), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((cell_rows, q_tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(luts_cm, codes)
+
+    packed = packed_t.T[:nq]                              # (nq, nblocks)
+    ids_local = (packed & idx_mask).astype(jnp.int32)
+    scores = jax.lax.bitcast_convert_type(packed & ~idx_mask, jnp.float32)
+    block_base = jnp.arange(nblocks, dtype=jnp.int32) * block_rows
+    return scores, ids_local + block_base[None, :]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_rows", "q_tile", "interpret"))
 def fast4_window_scan(
@@ -165,7 +278,8 @@ def fast4_window_scan(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_rows", "q_tile", "interpret"))
+    jax.jit,
+    static_argnames=("k", "block_rows", "q_tile", "interpret", "kernel"))
 def fast4_scan_topk(
     codes: jnp.ndarray,
     luts: jnp.ndarray,
@@ -174,6 +288,7 @@ def fast4_scan_topk(
     block_rows: int = 512,
     q_tile: int = 128,
     interpret: bool = False,
+    kernel: str = "v2",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FAST-path search: Pallas window scan → top-k windows → exact ADC
     rescore of the k window winners (distances from the f32 LUTs).
@@ -185,8 +300,10 @@ def fast4_scan_topk(
     nq = luts.shape[0]
     pad = (-n) % (W_PER_CELL * block_rows)
     codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
-    scores, ids = fast4_window_scan(codes_p, luts, block_rows=block_rows,
-                                    q_tile=q_tile, interpret=interpret)
+    window_scan = (fast4_window_scan_v2 if kernel == "v2"
+                   else fast4_window_scan)
+    scores, ids = window_scan(codes_p, luts, block_rows=block_rows,
+                              q_tile=q_tile, interpret=interpret)
     if n_valid is None:
         n_valid = jnp.int32(n)
     scores = jnp.where(ids < n_valid, scores, jnp.inf)

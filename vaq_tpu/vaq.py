@@ -288,13 +288,20 @@ class VAQIndex:
             print(f"== encode {x.shape[0]} rows: {time.perf_counter() - t0:.3f}s")
         return self
 
+    def _tombstone_norms(self, norms: jnp.ndarray) -> jnp.ndarray:
+        """Re-apply tombstones to freshly (re)built row norms: deleted rows
+        get +inf so every norms-based scan excludes them exactly."""
+        if self.deleted_ids is not None and len(self.deleted_ids):
+            norms = norms.at[jnp.asarray(self.deleted_ids)].set(jnp.inf)
+        return norms
+
     def _ensure_decoded(self) -> None:
         """Materialize the decoded bf16 database for the matmul scan backend."""
         if self.decoded is None:
             dec, norms = scan_decoded.decode_db(
                 self.codes, jnp.asarray(self.centroids))
             self.decoded = jax.block_until_ready(dec)
-            self.decoded_norms = norms
+            self.decoded_norms = self._tombstone_norms(norms)
 
     def _ensure_decoded8(self) -> None:
         if self.decoded8 is None:
@@ -302,7 +309,7 @@ class VAQIndex:
                 self.codes, jnp.asarray(self.centroids))
             self.decoded8 = jax.block_until_ready(d8)
             self.decoded8_scales = scales
-            self.decoded8_norms = norms
+            self.decoded8_norms = self._tombstone_norms(norms)
 
     def _eigvecs_device(self) -> jnp.ndarray:
         if self._ev_dev is None:
@@ -398,8 +405,11 @@ class VAQIndex:
         is the fast path; TI maps to the IVF cluster-probe when built.
 
         backend: "decoded" (bf16 reconstruction matmul on the MXU — fastest
-        while the decoded DB fits HBM), "lut" (codes + LUT gather scan — the
-        capacity path, and the one carrying FAST u8-LUT semantics), or "auto".
+        while the decoded DB fits HBM), "decoded8" (int8 tier), "lut"
+        (codes + LUT scan — the capacity path, and the one carrying FAST
+        u8-LUT semantics; auto-selects the Pallas kernel when eligible),
+        "fast4" (force the Pallas one-hot×LUT kernel; interpret-mode on CPU),
+        "lut_gather" (force the XLA gather scan), or "auto".
         """
         cfg = self.config
         queries = np.asarray(queries, dtype=np.float32)
@@ -424,11 +434,16 @@ class VAQIndex:
         elif backend == "decoded8":
             self._ensure_decoded8()
 
-        # Tombstones: the decoded backend excludes them via +inf norms; the
-        # LUT/code paths over-fetch and post-filter.
+        # Tombstones: the norms-based paths (decoded/decoded8/IVF) exclude
+        # them exactly via +inf norms; only the codes+LUT path needs the
+        # over-fetch + post-filter (conditioned on the path actually taken,
+        # not the backend string — ADVICE r1).
         k_out = k
         n_deleted = 0 if self.deleted_ids is None else len(self.deleted_ids)
-        if n_deleted and backend != "decoded":
+        ti_path = bool(cfg.methods & SearchMethod.TI) and self.ivf is not None
+        needs_filter = bool(n_deleted) and not ti_path and \
+            backend not in ("decoded", "decoded8")
+        if needs_filter:
             k = min(k + n_deleted, self.n_rows)
         all_d = np.empty((nq, k), dtype=np.float32)
         all_i = np.empty((nq, k), dtype=np.int32)
@@ -463,12 +478,17 @@ class VAQIndex:
                         luts = jnp.where(shuf, deq, luts)
                     else:
                         luts = deq
-                use_fast4 = (
-                    bool(cfg.methods & SearchMethod.FAST)
+                use_fast4 = backend == "fast4" or (
+                    backend != "lut_gather"
+                    and bool(cfg.methods & SearchMethod.FAST)
                     and int(self.bits.max()) <= 4
                     and jax.default_backend() != "cpu"
                     and self.n_rows >= 64 * k  # enough windows for recall
                 )
+                if use_fast4 and int(self.bits.max()) > 4:
+                    raise ValueError(
+                        "fast4 backend requires max_bits <= 4 "
+                        "(reference constraint, VAQ.cpp:1263-1266)")
                 if use_fast4:
                     # Pallas fused one-hot x LUT kernel (the AVX2 shuffle
                     # scan analog); windows sized for >= ~40 windows per k.
@@ -476,13 +496,19 @@ class VAQIndex:
                     br = 1 << (br.bit_length() - 1)
                     luts16 = luts
                     if luts16.shape[2] < 16:  # max_bits < 4: pad LUT to C=16
+                        # Pad with 0.0, NOT inf: the kernel computes
+                        # onehot @ lut where one-hot zeros multiply the pad
+                        # entries (0·inf = NaN would poison every window).
+                        # Padded entries can never be selected — codes are
+                        # always < 2^bits < C (ADVICE r1).
                         luts16 = jnp.pad(
                             luts16,
                             ((0, 0), (0, 0), (0, 16 - luts16.shape[2])),
-                            constant_values=jnp.inf)
+                            constant_values=0.0)
                     d, i = scan_pallas.fast4_scan_topk(
                         self.codes, luts16, k,
-                        n_valid=jnp.int32(self.n_rows), block_rows=br)
+                        n_valid=jnp.int32(self.n_rows), block_rows=br,
+                        interpret=jax.default_backend() == "cpu")
                 else:
                     d, i = scan_jax.adc_scan_topk(
                         self.codes, luts, k,
@@ -494,17 +520,18 @@ class VAQIndex:
             dt = time.perf_counter() - t0
             print(f"== search {nq} queries: {dt:.3f}s ({nq / dt:.1f} QPS)")
 
-        if n_deleted and k_out < k:
-            # strip tombstoned ids, keep the first k_out survivors per row
-            dead = set(self.deleted_ids.tolist())
-            out_d = np.full((nq, k_out), np.inf, dtype=np.float32)
-            out_i = np.full((nq, k_out), -1, dtype=np.int32)
-            for q in range(nq):
-                keep = [j for j in range(k) if int(all_i[q, j]) not in dead]
-                keep = keep[:k_out]
-                out_d[q, : len(keep)] = all_d[q, keep]
-                out_i[q, : len(keep)] = all_i[q, keep]
-            return out_d, out_i
+        if needs_filter and k_out < k:
+            # Strip tombstoned ids, keep the first k_out survivors per row —
+            # vectorized: a stable argsort on the dead mask compacts live
+            # entries to the front without reordering them.
+            dead_mask = np.isin(all_i, self.deleted_ids)
+            order = np.argsort(dead_mask, axis=1, kind="stable")
+            d_s = np.take_along_axis(all_d, order, axis=1)[:, :k_out]
+            i_s = np.take_along_axis(all_i, order, axis=1)[:, :k_out]
+            n_live = k - dead_mask.sum(axis=1)
+            valid = np.arange(k_out)[None, :] < n_live[:, None]
+            return (np.where(valid, d_s, np.inf).astype(np.float32),
+                    np.where(valid, i_s, -1).astype(np.int32))
         return all_d, all_i
 
     # ------------------------------------------------------------------
@@ -533,19 +560,34 @@ class VAQIndex:
         return np.arange(start, self.n_rows)
 
     def delete(self, ids) -> None:
-        """Tombstone rows: they stop appearing in results. Decoded backends
-        exclude them exactly (their norms become +inf); the LUT path
-        over-fetches and filters."""
+        """Tombstone rows: they stop appearing in results. Norms-based scans
+        (decoded/decoded8/sharded/IVF) exclude them exactly via +inf norms —
+        applied here to every materialized cache and re-applied on any
+        rebuild (_ensure_decoded*); the codes+LUT path over-fetches and
+        post-filters in search()."""
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
         if self.deleted_ids is None:
-            self.deleted_ids = ids
+            self.deleted_ids = np.unique(ids)
         else:
             self.deleted_ids = np.unique(
                 np.concatenate([self.deleted_ids, ids]))
+        dev_ids = jnp.asarray(ids)
         if self.decoded is not None:
-            self.decoded_norms = self.decoded_norms.at[
-                jnp.asarray(ids)].set(jnp.inf)
-        self.decoded8 = None
+            self.decoded_norms = self.decoded_norms.at[dev_ids].set(jnp.inf)
+        if self.decoded8 is not None:
+            self.decoded8_norms = self.decoded8_norms.at[dev_ids].set(jnp.inf)
+        if self._sharded_norms is not None:
+            self._sharded_norms = self._sharded_norms.at[dev_ids].set(jnp.inf)
+        if self.ivf is not None:
+            st = self.ivf.state
+            flat = np.flatnonzero(np.isin(np.asarray(st.bucket_ids), ids))
+            if flat.size:
+                r, c = np.divmod(flat, st.bucket_ids.shape[1])
+                r_d, c_d = jnp.asarray(r), jnp.asarray(c)
+                st.bucket_norms = st.bucket_norms.at[r_d, c_d].set(jnp.inf)
+                st.bucket_ids = st.bucket_ids.at[r_d, c_d].set(-1)
+                dec = np.bincount(r, minlength=st.ncl).astype(np.int32)
+                st.sizes = st.sizes - jnp.asarray(dec)
 
     def get_codes(self, ids) -> np.ndarray:
         """Raw codes of rows (the getBitV analog)."""
@@ -635,6 +677,8 @@ class VAQIndex:
         if self.lut_offsets is not None:
             arrays["lut_offsets"] = self.lut_offsets
             arrays["lut_scales"] = self.lut_scales
+        if self.deleted_ids is not None and len(self.deleted_ids):
+            arrays["deleted_ids"] = self.deleted_ids
         meta = {
             "config": {
                 **{k: v for k, v in dataclasses.asdict(self.config).items()
@@ -723,4 +767,6 @@ class VAQIndex:
         if "lut_offsets" in arrays:
             idx.lut_offsets = arrays["lut_offsets"]
             idx.lut_scales = arrays["lut_scales"]
+        if "deleted_ids" in arrays:
+            idx.deleted_ids = arrays["deleted_ids"]
         return idx
