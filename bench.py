@@ -202,9 +202,11 @@ def main():
         codes_dev = idx.codes
 
         def lut_step(q):
+            # the codes-resident tier: Pallas one-hot scan at C = 2^max_bits
             eps = (jnp.sum(q) * 1e-30)
-            d, i = scan_jax.adc_scan_topk(codes_dev, luts_dev + eps, args.k,
-                                          n_valid=jnp.int32(idx.n_rows))
+            d, i = scan_pallas.fast4_scan_topk(
+                codes_dev, luts_dev + eps, args.k,
+                n_valid=jnp.int32(idx.n_rows))
             return d, i
 
         qps_l, ms_l = measure(lut_step, max(2, args.iters // 8))

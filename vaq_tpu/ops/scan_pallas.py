@@ -1,4 +1,4 @@
-"""Pallas fast-scan kernel: fused one-hot × LUT matmul over 4-bit codes.
+"""Pallas fast-scan kernels: fused one-hot × LUT matmul over 4-bit codes.
 
 The TPU counterpart of the reference's FAST shuffle scan
 (``searchFast``, VAQ.cpp:1778-1836): there, a 16-entry u8 LUT lives in an
@@ -6,22 +6,43 @@ AVX2 register and ``_mm256_shuffle_epi8`` looks up 32 codes per instruction;
 here the 16-entry-per-subspace LUT lives in VMEM and the lookup is expressed
 as ``onehot(codes) @ lutᵀ`` so the MXU does it — the same ≤4-bit-per-subspace
 constraint applies (VAQ.cpp:1263-1266), because the one-hot matmul costs
-``C`` MACs per (row, subspace, query) and only C=16 keeps that at the
-memory-bandwidth floor.
+``C`` MACs per (row, subspace, query) and only C=16 keeps that near the
+compute floor.
 
-Shape strategy (per SURVEY §7 hard-part 3):
-  * grid = (query tiles, row blocks); the LUT tile (QT, M, 16) stays in VMEM
-    across the whole row loop; code blocks stream HBM→VMEM;
-  * the one-hot is generated in VMEM registers per subspace — it never
-    touches HBM (XLA would materialize it);
-  * instead of a full per-row distance output (nq, n) the kernel emits one
-    (min-distance, argmin-row) candidate per (query, row-block) window —
-    the PartialReduce shape — and the caller finishes with a cheap exact
-    top-k over the (nq, n/NB) windows + exact rescore. Window collisions
-    bound recall exactly like ``approx_max_k`` windows do.
+Two kernels, selected by LUT dtype:
 
-Accumulation is f32 (the reference saturates i16 there, VAQ.cpp:1817 — a
-documented accuracy hazard we don't inherit).
+* **bf16** (`_fast4_kernel`): f32 LUT slab, one-hot in bf16, f32
+  accumulation — the unquantized path.
+* **int8** (`_fast4_kernel_int8`): u8-quantized LUT (the reference's
+  learned smallQuantize tables, V16), one-hot in int8, int32 accumulation —
+  the s8×s8→s32 MXU form runs at 2× the bf16 rate on v5e and halves the
+  VMEM slab. Winner ordering under the quantized sums is exactly the
+  reference's FAST semantics; final distances are rescored from the f32
+  LUTs (better than the reference, which keeps the quantized sums).
+
+Shared structure (measured on v5e, 1M×64 subspaces — see BASELINE.md):
+
+* grid = (query tiles, row superblocks); the LUT tile stays in VMEM across
+  the whole row loop; code blocks stream HBM→VMEM;
+* the one-hot is built one GS-subspace group (128 lanes) at a time and
+  immediately folded into the accumulator by an accumulating K=128 MXU
+  matmul — no giant one-hot scratch (round 1's 8 MB/cell version spilled
+  and ran 10-40× slower end to end);
+* per (query, window) the kernel emits ONE packed int32: the window's min
+  score with the window-local argmin row in the low bits (bitcast packing —
+  order-preserving for non-negative scores; min+argmin in a single
+  ``jnp.min``, computed one 512-row slab at a time to keep int32
+  temporaries ~256 KB). The caller takes top-k windows and exactly rescores
+  the k winners, so the low mantissa bits the index packing claims never
+  affect returned distances;
+* measured: 7.8 ms / 128-query batch, 19.7 ms (int8) / 21.4 ms (bf16) per
+  1024-query batch at 1M rows × 64 subspaces — vs a ~10.6 ms/1024q bf16
+  MXU roofline for the one-hot form. The value of this tier is capacity:
+  32 B/row resident vs 128 B/row (decoded8) / 256 B/row (decoded bf16).
+
+Accumulation never saturates (the reference saturates i16, VAQ.cpp:1817 — a
+documented accuracy hazard we don't inherit: u8 sums over ≤128 subspaces
+fit int32 trivially, f32 path accumulates in f32).
 """
 
 from __future__ import annotations
@@ -36,98 +57,59 @@ from jax.experimental.pallas import tpu as pltpu
 
 C4 = 16          # 4-bit subspaces
 W_PER_CELL = 8   # windows per grid cell (output tile sublane count)
+GS = 8           # subspaces fused per matmul: K = GS·16 = 128 lanes
 
 
-GS = 8  # subspaces fused per matmul: K = GS·16 = 128 fills the MXU's depth
+def _group_geometry(codes_ref, lut_ref):
+    """Derive (C, GS, lanes, ngroups) from the ref shapes: C entries per
+    subspace LUT, GS = max(1, 128 // C) subspaces fused per matmul group.
+    C=16 (FAST) → GS=8, K=128; C=256 (8-bit codes) → GS=1, K=256."""
+    m = codes_ref.shape[1]
+    c = lut_ref.shape[1] // m
+    gs = max(1, 128 // c)
+    return c, gs, gs * c, m // gs
 
 
-def _fast4_kernel(lut_ref, codes_ref, score_ref, id_ref, acc_ref,
-                  onehot_ref):
-    """One (query-tile, superblock) cell covering W_PER_CELL windows.
+def _onehot_group(codes_ref, g, gs, lanes, code_of_lane, sel, out_dtype):
+    """One group's one-hot block (NB, lanes).
 
-    lut_ref:   (QT, M·16) f32 VMEM — this query tile's tables, code-major
-               within each GS-subspace group.
-    codes_ref: (W·WR, M) i8 VMEM   — this superblock's codes.
-    score_ref: (W, QT) f32         — per-window min distance.
-    id_ref:    (W, QT) i32         — per-window argmin (window-local row).
-    acc_ref:   (W·WR, QT) f32 scratch.
-    onehot_ref: (W·WR, M·16) bf16 scratch.
-
-    Subspaces are one-hot-encoded GS at a time into side-by-side 128-lane
-    slabs of the onehot scratch (each row ends with M ones), then ONE
-    (NB, M·16) × (M·16, QT) MXU matmul produces all ADC sums — maximum
-    systolic depth instead of per-subspace K=16 slivers.
+    Lane j (code-major within the group) ↔ (code = j // GS, subspace =
+    g·GS + j % GS). The selection matrix ``sel[s, j] = (j % GS == s)``
+    replicates each subspace's code across its lanes via a tiny matmul
+    (Mosaic rejects minor-dim reshapes on vectors); codes < 256 are exact
+    in bf16.
     """
-    nb, m = codes_ref.shape
-    qt = lut_ref.shape[0]
-    ngroups = m // GS
-    wr = nb // W_PER_CELL
-    assert m % GS == 0, "pad subspace count to a multiple of 8"
+    # two-step cast: Mosaic lacks a direct uint8 → bf16 lowering
+    codes_g = codes_ref[:, g * gs:(g + 1) * gs].astype(jnp.int32) \
+        .astype(jnp.bfloat16)
+    code_lane = jax.lax.dot_general(
+        codes_g, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (NB, lanes)
+    return (code_lane == code_of_lane).astype(out_dtype)
 
-    lanes = GS * C4
+
+def _lane_constants(nb, lanes, gs):
     iota_lane = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1)
-    code_of_lane = (iota_lane // GS).astype(jnp.float32)  # lane j → j // GS
-    # Selection matrix S[s, j] = (j % GS == s): codes_g @ S replicates each
-    # subspace's code across its lanes without any reshape (Mosaic rejects
-    # minor-dim merges). Codes < 16 are exact in bf16.
-    s_row = jax.lax.broadcasted_iota(jnp.int32, (GS, lanes), 0)
-    s_col = jax.lax.broadcasted_iota(jnp.int32, (GS, lanes), 1)
-    sel = (s_col % GS == s_row).astype(jnp.bfloat16)
-    for g in range(ngroups):
-        codes_g = codes_ref[:, g * GS:(g + 1) * GS].astype(jnp.bfloat16)
-        code_lane = jax.lax.dot_general(
-            codes_g, sel, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (NB, 128)
-        onehot_ref[:, g * lanes:(g + 1) * lanes] = (
-            code_lane == code_of_lane).astype(jnp.bfloat16)
-    # One K = ngroups·128 MXU matmul per cell against the stacked LUT slab.
-    acc_ref[:] = jax.lax.dot_general(
-        onehot_ref[:], lut_ref[:].astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    acc = acc_ref[:].reshape(W_PER_CELL, wr, qt)
-    score_ref[:] = jnp.min(acc, axis=1)
-    id_ref[:] = jnp.argmin(acc, axis=1).astype(jnp.int32)
+    code_of_lane = (iota_lane // gs).astype(jnp.float32)
+    s_row = jax.lax.broadcasted_iota(jnp.int32, (gs, lanes), 0)
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (gs, lanes), 1)
+    sel = (s_col % gs == s_row).astype(jnp.bfloat16)
+    return code_of_lane, sel
 
 
-def _fast4_kernel_v2(lut_ref, codes_ref, packed_ref, acc_ref):
-    """Round-2 kernel: group-wise matmul accumulation + bitcast-packed
-    min/argmin.
-
-    Differences vs ``_fast4_kernel`` (measured on v5e, see BASELINE.md):
-    * the one-hot is built and consumed one GS-subspace group (128 lanes) at
-      a time, each immediately folded into ``acc`` by an accumulating K=128
-      MXU matmul — the (NB, M·16) bf16 scratch (8 MB/cell of VMEM traffic)
-      disappears;
-    * min+argmin over the window axis collapse into ONE ``jnp.min``: scores
-      are clamped ≥ 0, bitcast to int32 (order-preserving for non-negative
-      floats), the low ``idx_bits`` mantissa bits are replaced by the
-      window-local row index, and the packed int is minimized — ties break
-      toward the smaller row index, and the distance nibble lost to the
-      packing is recovered by the caller's exact rescore.
-    """
+def _fast4_kernel(lut_ref, codes_ref, packed_ref, acc_ref):
+    """bf16/f32 kernel: see module docstring."""
     nb, m = codes_ref.shape
     qt = lut_ref.shape[0]
-    ngroups = m // GS
+    c, gs, lanes, ngroups = _group_geometry(codes_ref, lut_ref)
     wr = nb // W_PER_CELL
     idx_bits = max(1, (wr - 1).bit_length())
     idx_mask = (1 << idx_bits) - 1
-
-    lanes = GS * C4
-    iota_lane = jax.lax.broadcasted_iota(jnp.int32, (nb, lanes), 1)
-    code_of_lane = (iota_lane // GS).astype(jnp.float32)
-    s_row = jax.lax.broadcasted_iota(jnp.int32, (GS, lanes), 0)
-    s_col = jax.lax.broadcasted_iota(jnp.int32, (GS, lanes), 1)
-    sel = (s_col % GS == s_row).astype(jnp.bfloat16)
+    code_of_lane, sel = _lane_constants(nb, lanes, gs)
 
     for g in range(ngroups):
-        codes_g = codes_ref[:, g * GS:(g + 1) * GS].astype(jnp.bfloat16)
-        code_lane = jax.lax.dot_general(
-            codes_g, sel, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (NB, 128)
-        onehot = (code_lane == code_of_lane).astype(jnp.bfloat16)
+        onehot = _onehot_group(codes_ref, g, gs, lanes, code_of_lane, sel,
+                               jnp.bfloat16)
         part = jax.lax.dot_general(
             onehot, lut_ref[:, g * lanes:(g + 1) * lanes].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -137,27 +119,83 @@ def _fast4_kernel_v2(lut_ref, codes_ref, packed_ref, acc_ref):
         else:
             acc_ref[:] = acc_ref[:] + part
 
-    # pack (score, window-local idx) into one int32 and min-reduce
-    acc = jnp.maximum(acc_ref[:], 0.0)
-    acc_i = jax.lax.bitcast_convert_type(acc, jnp.int32)
-    local = jax.lax.broadcasted_iota(jnp.int32, (nb, qt), 0) % wr
-    packed = (acc_i & ~idx_mask) | local
-    packed_ref[:] = jnp.min(packed.reshape(W_PER_CELL, wr, qt), axis=1)
+    # packed (score, window-local idx) min, one window slab at a time
+    local = jax.lax.broadcasted_iota(jnp.int32, (wr, qt), 0)
+    for w in range(W_PER_CELL):
+        a = jnp.maximum(acc_ref[w * wr:(w + 1) * wr, :], 0.0)
+        ai = jax.lax.bitcast_convert_type(a, jnp.int32)
+        packed = (ai & ~idx_mask) | local
+        packed_ref[w, :] = jnp.min(packed, axis=0)
+
+
+def _fast4_kernel_int8(lut_ref, codes_ref, packed_ref, acc_ref):
+    """int8 kernel: u8 LUT in signed offset form (value − 128, see
+    fast4_scan_topk — the constant shift preserves order), int32
+    accumulation, shift-packed min."""
+    nb, m = codes_ref.shape
+    qt = lut_ref.shape[0]
+    c, gs, lanes, ngroups = _group_geometry(codes_ref, lut_ref)
+    wr = nb // W_PER_CELL
+    idx_bits = max(1, (wr - 1).bit_length())
+    code_of_lane, sel = _lane_constants(nb, lanes, gs)
+
+    for g in range(ngroups):
+        onehot = _onehot_group(codes_ref, g, gs, lanes, code_of_lane, sel,
+                               jnp.int8)
+        part = jax.lax.dot_general(
+            onehot, lut_ref[:, g * lanes:(g + 1) * lanes],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)              # (NB, QT)
+        if g == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] = acc_ref[:] + part
+
+    # |sums| ≤ 128·M < 2^21, so (sum << idx_bits) | idx fits int32 without
+    # overflow; the shift is a power-of-2 multiply in two's complement, so
+    # ordering survives for negative sums too, and the idx low bits break
+    # ties toward the smaller row
+    local = jax.lax.broadcasted_iota(jnp.int32, (wr, qt), 0)
+    for w in range(W_PER_CELL):
+        ai = acc_ref[w * wr:(w + 1) * wr, :]
+        packed = (ai << idx_bits) | local
+        packed_ref[w, :] = jnp.min(packed, axis=0)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("block_rows", "q_tile", "interpret"))
-def fast4_window_scan_v2(
-    codes: jnp.ndarray,
-    luts: jnp.ndarray,
+def fast4_window_scan(
+    codes: jnp.ndarray,      # (n, M) ints < C, n % (8·block_rows) == 0
+    luts: jnp.ndarray,       # (nq, M, C) f32 — or int8 for the u8-LUT path
     block_rows: int = 512,
-    q_tile: int = 128,
+    q_tile: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(query, window) best candidate via the v2 kernel (see above).
-    Same contract as :func:`fast4_window_scan`."""
+    """Per-(query, window) best candidate via the fused Pallas kernel.
+
+    Generalized over the per-subspace LUT width C = luts.shape[2] (a power
+    of two ≤ 256): C=16 is the FAST tier; C=256 serves 8-bit-code configs —
+    the same one-hot-matmul structure with K = 256 per subspace (the MXU
+    cost scales with C, so this stays the *capacity* tier; decoded8 is the
+    throughput tier — see ops/scan_decoded.py).
+
+    Returns (scores (nq, n/block_rows), row_ids (nq, n/block_rows) i32
+    global ids). Scores are f32 window minima for f32 LUTs, int32 quantized
+    sums for int8 LUTs — only their ORDER is meaningful either way (the
+    packed index bits are already stripped).
+    """
     n, m = codes.shape
-    nq = luts.shape[0]
+    nq, _, c = luts.shape
+    assert c & (c - 1) == 0 and c <= 256, "LUT width must be pow2 <= 256"
+    gs = max(1, 128 // c)
+    int8_path = luts.dtype == jnp.int8
+    lut_bytes = 1 if int8_path else 4
+    if q_tile is None:
+        # measured optima at nq=1024/1M rows/C=16: 256 (int8), 512 (bf16);
+        # cap so the resident LUT slab stays ≤ ~4 MB; don't pad small
+        # batches up
+        qt_budget = max(128, (4 << 20) // max(m * c * lut_bytes, 1) // 128 * 128)
+        q_tile = min(256 if int8_path else 512, qt_budget, max(128, nq))
     cell_rows = W_PER_CELL * block_rows
     assert n % cell_rows == 0, "pad codes to a multiple of 8*block_rows"
     nblocks = n // block_rows
@@ -168,23 +206,31 @@ def fast4_window_scan_v2(
     pad_q = (-nq) % q_tile
     luts_p = jnp.pad(luts, ((0, pad_q), (0, 0), (0, 0)))
     nq_p = luts_p.shape[0]
-    if codes.dtype != jnp.int8:
-        codes = codes.astype(jnp.int8)
-    pad_m = (-m) % GS
+    if c <= 16 and codes.dtype != jnp.int8:
+        codes = codes.astype(jnp.int8)  # values < 16 fit; 4x less VMEM/HBM
+    elif codes.dtype not in (jnp.int8, jnp.uint8):
+        codes = codes.astype(jnp.uint8)
+    pad_m = (-m) % gs
     if pad_m:
+        # pad subspaces: code 0 against an all-zero LUT contributes nothing
         codes = jnp.pad(codes, ((0, 0), (0, pad_m)))
         luts_p = jnp.pad(luts_p, ((0, 0), (0, pad_m), (0, 0)))
         m += pad_m
-    ngroups = m // GS
-    luts_cm = luts_p.reshape(nq_p, ngroups, GS, C4).transpose(0, 1, 3, 2) \
-        .reshape(nq_p, m * C4)
+    ngroups = m // gs
+    # Rearrange LUT code-major within each group so the kernel's lane j
+    # (within group g) ↔ (code = j // GS, subspace = g·GS + j % GS), then
+    # flatten groups into one (nq, M·C) slab.
+    luts_cm = luts_p.reshape(nq_p, ngroups, gs, c).transpose(0, 1, 3, 2) \
+        .reshape(nq_p, m * c)
 
     grid = (nq_p // q_tile, ncells)
+    kernel = _fast4_kernel_int8 if int8_path else _fast4_kernel
+    acc_dtype = jnp.int32 if int8_path else jnp.float32
     packed_t = pl.pallas_call(
-        _fast4_kernel_v2,
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((q_tile, m * C4), lambda q, j: (q, 0),
+            pl.BlockSpec((q_tile, m * c), lambda q, j: (q, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cell_rows, m), lambda q, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -193,105 +239,41 @@ def fast4_window_scan_v2(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nblocks, nq_p), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((cell_rows, q_tile), jnp.float32),
+            pltpu.VMEM((cell_rows, q_tile), acc_dtype),
         ],
         interpret=interpret,
     )(luts_cm, codes)
 
-    packed = packed_t.T[:nq]                              # (nq, nblocks)
+    packed = packed_t.T[:nq]                               # (nq, nblocks)
     ids_local = (packed & idx_mask).astype(jnp.int32)
-    scores = jax.lax.bitcast_convert_type(packed & ~idx_mask, jnp.float32)
-    block_base = jnp.arange(nblocks, dtype=jnp.int32) * block_rows
-    return scores, ids_local + block_base[None, :]
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("block_rows", "q_tile", "interpret"))
-def fast4_window_scan(
-    codes: jnp.ndarray,      # (n, M) ints < 16, n % (8*block_rows) == 0
-    luts: jnp.ndarray,       # (nq, M, 16) f32
-    block_rows: int = 512,
-    q_tile: int = 128,
-    interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-(query, window) best candidate via the fused Pallas kernel.
-
-    Returns (scores (nq, n/block_rows) f32, row_ids (nq, n/block_rows) i32
-    global ids). n must be a multiple of 8·block_rows (one grid cell covers
-    8 windows to satisfy the (8, 128) output tiling).
-    """
-    n, m = codes.shape
-    nq = luts.shape[0]
-    cell_rows = W_PER_CELL * block_rows
-    assert n % cell_rows == 0, "pad codes to a multiple of 8*block_rows"
-    nblocks = n // block_rows
-    ncells = n // cell_rows
-    pad_q = (-nq) % q_tile
-    luts_p = jnp.pad(luts, ((0, pad_q), (0, 0), (0, 0)))
-    nq_p = luts_p.shape[0]
-    if codes.dtype != jnp.int8:
-        codes = codes.astype(jnp.int8)  # values < 16 fit; 4x less VMEM/HBM
-    pad_m = (-m) % GS
-    if pad_m:
-        # pad subspaces: code 0 against an all-zero LUT contributes nothing
-        codes = jnp.pad(codes, ((0, 0), (0, pad_m)))
-        luts_p = jnp.pad(luts_p, ((0, 0), (0, pad_m), (0, 0)))
-        m += pad_m
-    ngroups = m // GS
-    # Rearrange LUT code-major within each GS-subspace group so the kernel's
-    # lane j (within group g) ↔ (code = j // GS, subspace = g·GS + j % GS),
-    # then flatten groups into one (nq, M·16) slab.
-    luts_cm = luts_p.reshape(nq_p, ngroups, GS, C4).transpose(0, 1, 3, 2) \
-        .reshape(nq_p, m * C4)
-
-    grid = (nq_p // q_tile, ncells)
-    scores_t, ids_t = pl.pallas_call(
-        _fast4_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((q_tile, m * C4), lambda q, j: (q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cell_rows, m), lambda q, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((W_PER_CELL, q_tile), lambda q, j: (j, q),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((W_PER_CELL, q_tile), lambda q, j: (j, q),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nblocks, nq_p), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, nq_p), jnp.int32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((cell_rows, q_tile), jnp.float32),
-            pltpu.VMEM((cell_rows, m * C4), jnp.bfloat16),
-        ],
-        interpret=interpret,
-    )(luts_cm, codes)
-
-    scores = scores_t.T[:nq]                       # (nq, nblocks)
-    ids_local = ids_t.T[:nq]
+    if int8_path:
+        scores = (packed >> idx_bits).astype(jnp.int32)
+    else:
+        scores = jax.lax.bitcast_convert_type(packed & ~idx_mask,
+                                              jnp.float32)
     block_base = jnp.arange(nblocks, dtype=jnp.int32) * block_rows
     return scores, ids_local + block_base[None, :]
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=("k", "block_rows", "q_tile", "interpret", "kernel"))
+    jax.jit, static_argnames=("k", "block_rows", "q_tile", "interpret"))
 def fast4_scan_topk(
     codes: jnp.ndarray,
     luts: jnp.ndarray,
     k: int,
     n_valid: Optional[jnp.ndarray] = None,
     block_rows: int = 512,
-    q_tile: int = 128,
+    q_tile: Optional[int] = None,
     interpret: bool = False,
-    kernel: str = "v2",
+    luts8: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FAST-path search: Pallas window scan → top-k windows → exact ADC
-    rescore of the k window winners (distances from the f32 LUTs).
+    rescore of the k window winners (distances always from the f32 ``luts``).
+
+    When ``luts8`` (int8-viewed u8-quantized tables, values ≤ 127) is given,
+    the window scan runs the 2×-rate int8 kernel and winner selection uses
+    the quantized sums — the reference's FAST semantics (VAQ.cpp:1778-1836)
+    with exact final distances.
 
     Note: with one candidate per (query, window), k must be ≪ n/block_rows
     for good recall; the caller picks block_rows ≈ n/(40·k) or smaller.
@@ -300,21 +282,29 @@ def fast4_scan_topk(
     nq = luts.shape[0]
     pad = (-n) % (W_PER_CELL * block_rows)
     codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
-    window_scan = (fast4_window_scan_v2 if kernel == "v2"
-                   else fast4_window_scan)
-    scores, ids = window_scan(codes_p, luts, block_rows=block_rows,
-                              q_tile=q_tile, interpret=interpret)
+    if luts8 is not None:
+        # u8 [0,255] → signed int8 by a −128 offset: the per-row sum shifts
+        # by the constant 128·M, preserving order, and s8×s8 hits the MXU.
+        scan_luts = (luts8.astype(jnp.int16) - 128).astype(jnp.int8)
+    else:
+        scan_luts = luts
+    scores, ids = fast4_window_scan(codes_p, scan_luts,
+                                    block_rows=block_rows,
+                                    q_tile=q_tile, interpret=interpret)
     if n_valid is None:
         n_valid = jnp.int32(n)
-    scores = jnp.where(ids < n_valid, scores, jnp.inf)
+    big = jnp.iinfo(jnp.int32).max if scores.dtype == jnp.int32 else jnp.inf
+    invalid = ids >= n_valid
+    scores = jnp.where(invalid, big, scores)
 
     kk = min(k, scores.shape[1])
-    neg, pos = jax.lax.top_k(-scores, kk)
+    neg, pos = jax.lax.top_k(-scores.astype(jnp.float32), kk)
     top_ids = jnp.take_along_axis(ids, pos, axis=1)     # (nq, kk)
     # Windows whose best row fell on padding carry no candidate.
-    top_ids = jnp.where(jnp.isfinite(-neg), top_ids, -1)
-    # Exact ADC rescore of the winners from the same LUTs (f32 gather of
-    # kk·M entries per query — tiny).
+    top_ids = jnp.where(jnp.take_along_axis(invalid, pos, axis=1), -1,
+                        top_ids)
+    # Exact ADC rescore of the winners from the f32 LUTs (gather of kk·M
+    # entries per query — tiny).
     cand_codes = codes_p[jnp.maximum(top_ids, 0)].astype(jnp.int32)
     d2 = jnp.sum(
         jnp.take_along_axis(

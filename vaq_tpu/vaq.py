@@ -460,6 +460,7 @@ class VAQIndex:
             else:
                 qp = pca.project(qb, self.eigvecs, self.total_dim)
                 luts = scan_jax.build_luts(qp, jnp.asarray(self.centroids))
+                lut8_kernel = None
                 if use_quant:
                     # Reproduce the FAST-path accuracy: quantize to u8 then
                     # dequantize, injecting the same rounding error as the
@@ -478,17 +479,26 @@ class VAQIndex:
                         luts = jnp.where(shuf, deq, luts)
                     else:
                         luts = deq
-                use_fast4 = backend == "fast4" or (
-                    backend != "lut_gather"
-                    and bool(cfg.methods & SearchMethod.FAST)
-                    and int(self.bits.max()) <= 4
-                    and jax.default_backend() != "cpu"
-                    and self.n_rows >= 64 * k  # enough windows for recall
-                )
-                if use_fast4 and int(self.bits.max()) > 4:
+                        # Pallas path scans the raw u8 sums (the reference
+                        # accumulates raw table bytes too, VAQ.cpp:1800-1830)
+                        lut8_kernel = lut8
+                max_b = int(self.bits.max())
+                if backend == "fast4" and max_b > 4:
                     raise ValueError(
                         "fast4 backend requires max_bits <= 4 "
                         "(reference constraint, VAQ.cpp:1263-1266)")
+                # The Pallas one-hot scan serves any <= 8-bit config (C =
+                # 2^max_bits LUT columns); the XLA gather scan remains the
+                # fallback for >8-bit codes, CPU, small n (too few windows
+                # per k for window-candidate recall), or explicit
+                # backend="lut_gather".
+                use_fast4 = backend == "fast4" or (
+                    backend != "lut_gather"
+                    and max_b <= 8
+                    and jax.default_backend() != "cpu"
+                    and self.n_rows >= 64 * k  # enough windows for recall
+                    and (backend == "lut"
+                         or bool(cfg.methods & SearchMethod.FAST)))
                 if use_fast4:
                     # Pallas fused one-hot x LUT kernel (the AVX2 shuffle
                     # scan analog); windows sized for >= ~40 windows per k.
@@ -501,14 +511,18 @@ class VAQIndex:
                         # entries (0·inf = NaN would poison every window).
                         # Padded entries can never be selected — codes are
                         # always < 2^bits < C (ADVICE r1).
+                        padc = 16 - luts16.shape[2]
                         luts16 = jnp.pad(
-                            luts16,
-                            ((0, 0), (0, 0), (0, 16 - luts16.shape[2])),
+                            luts16, ((0, 0), (0, 0), (0, padc)),
                             constant_values=0.0)
+                        if lut8_kernel is not None:
+                            lut8_kernel = jnp.pad(
+                                lut8_kernel, ((0, 0), (0, 0), (0, padc)))
                     d, i = scan_pallas.fast4_scan_topk(
                         self.codes, luts16, k,
                         n_valid=jnp.int32(self.n_rows), block_rows=br,
-                        interpret=jax.default_backend() == "cpu")
+                        interpret=jax.default_backend() == "cpu",
+                        luts8=lut8_kernel)
                 else:
                     d, i = scan_jax.adc_scan_topk(
                         self.codes, luts, k,
