@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""100M-row capacity experiment (VERDICT r1 #5; reference Fig. 11 configs,
+ExperimentsParameters.txt:114-124: DEEP-100M, 256 bits, 32 segments).
+
+Streams a DEEP-like synthetic dataset (default 100M × 96d) through the
+standard build (train on samples → streamed encode), serves from the two
+capacity tiers that fit one v5e chip's 16 GB HBM at this scale:
+
+  * decoded8 (int8 reconstruction, 96 B/row → 9.6 GB resident)
+  * codes + Pallas one-hot scan (32 B/row → 3.2 GB resident)
+
+and reports build time, per-tier QPS (chained methodology), recall@10, and
+refined recall against streamed exact groundtruth. Emits one JSON line and
+writes CAPACITY_100M.json at the repo root.
+
+HBM budget at n=100M, d=96, 256-bit codes (documented for BASELINE.md):
+  codes u8 (n × 32)                    3.2 GB
+  decoded8 int8 (n × 96) + norms f32   9.6 + 0.4 GB
+  query workspace (1024-batch scores)  ~0.8 GB peak
+  → decoded8 + codes tiers co-resident ≈ 14 GB; the bf16 decoded tier
+    (19.2 GB) does NOT fit and is skipped.
+
+Usage: python scripts/capacity_100m.py [--n 100000000] [--d 96]
+       [--queries 128] [--chunk 4000000]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def gen_memmap(path, n, d, seed=42, chunk=4_000_000):
+    """DEEP-like anisotropic gaussian streamed to a disk memmap."""
+    from vaq_tpu.data import make_anisotropic_gaussian
+
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=(n, d))
+    queries = None
+    for start in range(0, n, chunk):
+        rows = min(chunk, n - start)
+        base, q = make_anisotropic_gaussian(rows, d, 128,
+                                            seed=seed + start // chunk)
+        mm[start:start + rows] = base
+        if queries is None:
+            queries = q
+        log(f"gen {start + rows}/{n}")
+    mm.flush()
+    return queries
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n", type=int, default=100_000_000)
+    p.add_argument("--d", type=int, default=96)
+    p.add_argument("--queries", type=int, default=128)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--chunk", type=int, default=4_000_000)
+    p.add_argument("--config", default="VAQ256m32min5max12var1,HEAP")
+    p.add_argument("--workdir", default="/root/capacity100m")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import vaq_tpu
+    from vaq_tpu import metrics, pca
+    from vaq_tpu.ops import scan_jax, scan_pallas
+    from vaq_tpu.ops.distances import exact_search_host_stream
+
+    os.makedirs(args.workdir, exist_ok=True)
+    data_path = os.path.join(args.workdir, f"base_{args.n}x{args.d}.f32")
+    q_path = os.path.join(args.workdir, "queries.npy")
+    if os.path.exists(data_path) and os.path.exists(q_path):
+        queries = np.load(q_path)
+        log("dataset cached")
+    else:
+        t0 = time.perf_counter()
+        queries = gen_memmap(data_path, args.n, args.d, chunk=args.chunk)
+        queries = queries[: args.queries]
+        np.save(q_path, queries)
+        log(f"datagen: {time.perf_counter() - t0:.0f}s")
+    queries = queries[: args.queries]
+    base = np.memmap(data_path, dtype=np.float32, mode="r",
+                     shape=(args.n, args.d))
+
+    cfg = vaq_tpu.parse_method_string(args.config)
+    idx_path = os.path.join(args.workdir, "index.npz")
+    if os.path.exists(idx_path):
+        idx = vaq_tpu.VAQIndex.load(idx_path)
+        log("index cached")
+        build_s = None
+    else:
+        t0 = time.perf_counter()
+        # train on a streamed sample (train_rotation samples 1000·d rows;
+        # codebooks sample ≤ 256·2^bits rows per subspace)
+        sample = np.asarray(base[:: max(1, args.n // 4_000_000)][:4_000_000])
+        idx = vaq_tpu.VAQIndex(cfg).train(sample, verbose=True)
+        idx.encode(base, verbose=True, chunk_rows=args.chunk)
+        build_s = time.perf_counter() - t0
+        log(f"build: {build_s:.0f}s")
+        idx.save(idx_path)
+
+    # groundtruth (streamed exact scan; cached)
+    gt_path = os.path.join(args.workdir, f"gt_{args.queries}.npy")
+    if os.path.exists(gt_path):
+        gt = np.load(gt_path)
+    else:
+        t0 = time.perf_counter()
+        _, gt = exact_search_host_stream(queries, base, 100,
+                                         chunk_rows=args.chunk)
+        np.save(gt_path, gt)
+        log(f"groundtruth: {time.perf_counter() - t0:.0f}s")
+
+    qb = jnp.asarray(queries[: args.batch])
+
+    def chain(step, iters):
+        q = qb
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dd, ii = step(q)
+            s = (jnp.sum(dd.astype(jnp.float32)) + jnp.sum(ii)).astype(
+                jnp.float32)
+            q = qb + s * 1e-30
+        float(jnp.sum(q))
+        return time.perf_counter() - t0
+
+    def measure(step, iters=8):
+        chain(step, 1)
+        t1 = min(chain(step, 1) for _ in range(2))
+        tn = min(chain(step, iters) for _ in range(2))
+        ms = (tn - t1) / (iters - 1) * 1000.0
+        return args.batch / (ms / 1000.0), ms
+
+    out = {"metric": f"capacity tiers at {args.n} x {args.d}d",
+           "n": args.n, "d": args.d, "config": args.config, "unit": "qps"}
+    if build_s is not None:
+        out["build_s"] = round(build_s, 1)
+
+    # --- decoded8 tier ---
+    t0 = time.perf_counter()
+    idx._ensure_decoded8()
+    log(f"decoded8 materialize: {time.perf_counter() - t0:.0f}s")
+    d8_qps, d8_ms = measure(
+        lambda q: idx.search_device(q, args.k, backend="decoded8"))
+    _, l8 = idx.search_device(jnp.asarray(queries), args.k,
+                              backend="decoded8")
+    rec8 = metrics.avg_recall(np.asarray(l8), gt, args.k)
+    log(f"decoded8: {d8_qps:.0f} QPS ({d8_ms:.1f}ms/batch) "
+        f"recall@{args.k}={rec8:.4f}")
+    out["decoded8_qps"] = round(d8_qps, 1)
+    out["decoded8_recall_at_k"] = round(rec8, 4)
+
+    # --- codes tier (Pallas one-hot scan) ---
+    ev = jnp.asarray(idx.eigvecs[:, : idx.total_dim])
+    cents = jnp.asarray(idx.centroids)
+
+    def lut_step(q):
+        qp = jnp.dot(q, ev, preferred_element_type=jnp.float32)
+        luts = scan_jax.build_luts(qp, cents)
+        return scan_pallas.fast4_scan_topk(
+            idx.codes, luts, args.k, n_valid=jnp.int32(idx.n_rows))
+
+    lut_qps, lut_ms = measure(lut_step, iters=4)
+    dl, ll = lut_step(jnp.asarray(queries))
+    recl = metrics.avg_recall(np.asarray(ll), gt, args.k)
+    log(f"codes tier: {lut_qps:.1f} QPS ({lut_ms:.1f}ms/batch) "
+        f"recall@{args.k}={recl:.4f}")
+    out["lut_qps"] = round(lut_qps, 1)
+    out["lut_recall_at_k"] = round(recl, 4)
+
+    # --- refined recall (decoded8 candidates -> exact rerank 100 -> 10) ---
+    _, cand = idx.search_device(jnp.asarray(queries), 100, backend="decoded8")
+    _, refined = idx.refine(queries, np.asarray(cand), base, args.k)
+    rec_ref = metrics.avg_recall(np.asarray(refined), gt, args.k)
+    out["refined_recall_at_k"] = round(rec_ref, 4)
+    log(f"refined@{args.k}: {rec_ref:.4f}")
+
+    out["value"] = out["decoded8_qps"]
+    out["vs_baseline"] = 1.0
+    line = json.dumps(out)
+    print(line)
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                           "CAPACITY_100M.json"), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,11 @@ def main(argv=None) -> int:
     p.add_argument("--iteration", type=int, default=1)
     p.add_argument("--write-groundtruth", default="")
     p.add_argument("--synthetic", type=int, default=0, metavar="N")
+    p.add_argument("--metric", default="hamming",
+                   choices=("hamming", "jaccard", "l2", "manhattan"),
+                   help="bit-space metric for modes 0-3 (hamming/jaccard, "
+                        "DistanceFunctions.hpp:164/218); exact metric for "
+                        "modes 4-6/9 (l2/manhattan, hpp:232/254)")
     args = p.parse_args(argv)
 
     from vaq_tpu.cli import apply_platform_env
@@ -81,12 +86,17 @@ def main(argv=None) -> int:
     for _ in range(args.iteration):
         t0 = time.perf_counter()
         if mode in (0, 2):
-            dists, labels = idx.query(queries, args.k)
+            bit_metric = args.metric if args.metric in ("hamming", "jaccard") \
+                else "hamming"
+            dists, labels = idx.query(queries, args.k, metric=bit_metric)
         elif mode in (1, 3):
             dists, labels = idx.query_rerank(queries, dataset, args.k,
                                              factor=args.rerank_factor)
         elif mode in (4, 5, 6, 9):
-            dists, labels = idx.query_naive(queries, dataset, args.k)
+            ex_metric = args.metric if args.metric in ("l2", "manhattan") \
+                else "l2"
+            dists, labels = idx.query_naive(queries, dataset, args.k,
+                                            metric=ex_metric)
         else:  # 7, 8: sharded exact over the device mesh
             import jax
             import jax.numpy as jnp

@@ -105,26 +105,46 @@ def build_ivf(index, verbose: bool = False,
     cap = max(1, int(math.ceil(balance_cap_factor * n / ncl)))
     if np.bincount(assign, minlength=ncl).max() > cap:
         s_cand = min(8, ncl)
-        d2 = np.asarray(probe_ops.cluster_sq_dists(
-            jnp.asarray(prefix), jnp.asarray(cents)))
-        cand = np.argsort(d2, axis=1, kind="stable")[:, :s_cand]
+        # top-S candidate clusters per row, computed in row blocks so the
+        # (n, ncl) distance matrix is never materialized (40 GB at 10M×1k)
+        cents_dev = jnp.asarray(cents)
+
+        @jax.jit
+        def _topS(block):
+            d2b = probe_ops.cluster_sq_dists(block, cents_dev)
+            _, idx = jax.lax.top_k(-d2b, s_cand)
+            return idx
+
+        cand = np.empty((n, s_cand), dtype=np.int64)
+        blk = 1 << 20
+        for start in range(0, n, blk):
+            cand[start:start + blk] = np.asarray(
+                _topS(jnp.asarray(prefix[start:start + blk])))
+        # round-based greedy fill (vectorized): in round j, unplaced rows
+        # claim their j-th nearest cluster; each cluster admits claimants up
+        # to its remaining space in row order
         fill = np.zeros(ncl, dtype=np.int64)
-        assign = np.empty(n, dtype=np.int64)
-        spill = []
-        for r in range(n):
-            for c in cand[r]:
-                if fill[c] < cap:
-                    assign[r] = c
-                    fill[c] += 1
-                    break
-            else:
-                spill.append(r)
-        if spill:  # extremely skewed data: place wherever space remains
-            for r in spill:
-                c = int(np.argmin(fill))
-                assign[r] = c
-                fill[c] += 1
-            cap = int(fill.max())
+        assign = np.full(n, -1, dtype=np.int64)
+        for j in range(s_cand):
+            un = np.flatnonzero(assign < 0)
+            if un.size == 0:
+                break
+            choice = cand[un, j]
+            order = np.argsort(choice, kind="stable")
+            sorted_choice = choice[order]
+            seg_start = np.searchsorted(sorted_choice, sorted_choice,
+                                        side="left")
+            rank = np.arange(un.size) - seg_start
+            take = rank < (cap - fill)[sorted_choice]
+            taken_rows = un[order[take]]
+            taken_cl = sorted_choice[take]
+            assign[taken_rows] = taken_cl
+            fill += np.bincount(taken_cl, minlength=ncl)
+        spill = np.flatnonzero(assign < 0)
+        if spill.size:  # extremely skewed data: fill remaining space
+            space = np.maximum(cap - fill, 0)
+            slots = np.repeat(np.arange(ncl), space)
+            assign[spill] = slots[: spill.size]
     sizes = np.bincount(assign, minlength=ncl)
     cap = int(max(cap, sizes.max()))
     if verbose:
