@@ -31,9 +31,12 @@ def test_ivf_state_shapes(ti_index):
     # every row appears exactly once
     assert len(valid) == base.shape[0]
     assert len(np.unique(valid)) == base.shape[0]
-    # capacity bounding keeps bucket padding waste controlled
-    assert st.cap <= max(np.asarray(st.sizes).max(),
-                         int(np.ceil(1.5 * base.shape[0] / 32)))
+    # capacity bounding keeps bucket padding waste controlled (cap is
+    # rounded up to a multiple of 32 for the group-max scan)
+    cap_bound = max(np.asarray(st.sizes).max(),
+                    int(np.ceil(1.5 * base.shape[0] / 32)))
+    assert st.cap <= -(-cap_bound // 32) * 32
+    assert st.cap % 32 == 0
     np.testing.assert_array_equal(np.asarray(st.sizes),
                                   (ids >= 0).sum(axis=1))
 

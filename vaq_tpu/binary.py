@@ -699,9 +699,10 @@ def _hamming_probe_scan(qp_f32, qwords, bucket_words, bucket_ids, centroids,
 
     vals, pos = probe_ops.blocked_cluster_topk(score_fn, nb, kk)
     vals, pos = vals[:ncl], pos[:ncl]
-    ids_k = jnp.take_along_axis(
-        jnp.broadcast_to(bucket_ids[:, None, :], (ncl, qcap, cap)), pos,
-        axis=2)
+    # resolve ids cluster-major with a per-row gather — no (ncl, qcap, cap)
+    # broadcast materialization (1.3 GB at 1M rows in the r1 version)
+    ids_k = jnp.take_along_axis(bucket_ids, pos.reshape(ncl, qcap * kk),
+                                axis=1).reshape(ncl, qcap, kk)
     top_s, top_i = probe_ops.gather_merge_topk(vals, ids_k, ok, ent_c, ent_r,
                                                nq, k)
     dist = jnp.where(jnp.isfinite(top_s), -top_s, jnp.float32(2 ** 30))

@@ -147,6 +147,9 @@ def build_ivf(index, verbose: bool = False,
             assign[spill] = slots[: spill.size]
     sizes = np.bincount(assign, minlength=ncl)
     cap = int(max(cap, sizes.max()))
+    cap = -(-cap // 32) * 32   # multiple of 32 so the group-max scan can
+    #                            pick gs ∈ {8, 16, 32} (padding rows carry
+    #                            +inf norms → -inf scores, never selected)
     if verbose:
         print(f"== ivf: {ncl} clusters, seg_dims={seg_dims}, cap={cap}, "
               f"sizes min/mean/max = {sizes.min()}/{sizes.mean():.0f}/"
@@ -180,7 +183,7 @@ def build_ivf(index, verbose: bool = False,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "p_visit", "p_max", "qcap", "exact", "cb"))
+    "k", "p_visit", "p_max", "qcap", "exact", "cb", "gs", "m_groups"))
 def probe_scan(
     qp: jnp.ndarray,           # (nq, D) projected queries
     centroids: jnp.ndarray,    # (ncl, seg_dims)
@@ -188,18 +191,42 @@ def probe_scan(
     bucket_norms: jnp.ndarray,  # (ncl, cap)
     bucket_ids: jnp.ndarray,    # (ncl, cap)
     sizes: jnp.ndarray,         # (ncl,)
+    db_rows: jnp.ndarray,       # (n, D) bf16 flat decoded DB (rescore)
+    db_norms: jnp.ndarray,      # (n,) f32
     k: int,
     p_visit: int,
     p_max: int,
     qcap: int,
     exact: bool = True,
-    cb: int = 8,
+    cb: int = 128,
+    gs: int = 16,
+    m_groups: int = 24,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused dispatch: probe → dispatch → blocked batched scoring →
-    per-cluster top-k → per-query merge. Scores are the monotone
-    ``2·q·x − ‖x‖²`` (exact d² recovered at the end)."""
+    """One fused dispatch: probe → dispatch → blocked batched scoring with a
+    **group-max prefilter** → per-query group merge → exact rescore.
+
+    Scores are the centered monotone ``2·q·x − ‖x‖² − ‖q‖² = −d²`` so the
+    bf16 materialization keeps full relative precision on the ranking
+    quantity (a plain ``2qx − ‖x‖²`` is ≈ ``+‖q‖²`` and bf16 cancellation
+    wipes the signal — measured recall 0.32 → 0.25 at 1M).
+
+    The prefilter reduces each ``gs``-row group to its max score inside the
+    matmul epilogue (gs× less HBM than materializing row scores — the r1
+    kernel's dominant cost) and is *lossless* for coverage: a group holding
+    one of a query's true top-k rows has max ≥ that row's score, while any
+    group holding none has max < the k-th best score, so every true top-k
+    row lives in the top-k groups. With ``m_groups ≥ k`` the merged group
+    set covers the exact probed-set top-k and the rescore recovers exact
+    distances (``exact=True`` makes every top-k step a full sort; ties at
+    the k-th boundary are the only divergence). Replaces the reference's
+    per-row triangle-inequality break (VAQ.cpp:1540-1692) wholesale.
+    """
     nq, d_full = qp.shape
     ncl, cap = bucket_norms.shape
+    ng = cap // gs
+    if ng * gs != cap:
+        raise ValueError(f"bucket capacity {cap} not a multiple of gs={gs}")
+    qcap = min(qcap, nq)
 
     cd = probe_ops.cluster_sq_dists(qp[:, : centroids.shape[1]], centroids)
     probe, active = probe_ops.dynamic_probe(cd, sizes, k, p_visit, p_max)
@@ -207,33 +234,63 @@ def probe_scan(
                                                        qcap)
     qp_pad = jnp.concatenate(
         [qp, jnp.zeros((1, d_full), qp.dtype)], axis=0)
-    qsl = qp_pad[table]                                    # (ncl, qcap, D)
+    qsl = qp_pad[table].astype(jnp.bfloat16)               # (ncl, qcap, D)
+    qn = jnp.sum(qp * qp, axis=1)
+    qn_sl = jnp.concatenate([qn, jnp.zeros((1,), qn.dtype)])[table]
 
     padc = (-ncl) % cb
     rows_p = jnp.pad(bucket_rows, ((0, padc), (0, 0), (0, 0)))
     norms_p = jnp.pad(bucket_norms, ((0, padc), (0, 0)),
                       constant_values=jnp.inf)
     qsl_p = jnp.pad(qsl, ((0, padc), (0, 0), (0, 0)))
+    qn_p = jnp.pad(qn_sl, ((0, padc), (0, 0)))
     nb = (ncl + padc) // cb
-    kk = min(k, cap)
+    kk = min(k, ng)
 
-    def score_fn(b):
+    def one(b):
         rows_b = jax.lax.dynamic_slice_in_dim(rows_p, b * cb, cb, 0)
         norms_b = jax.lax.dynamic_slice_in_dim(norms_p, b * cb, cb, 0)
         q_b = jax.lax.dynamic_slice_in_dim(qsl_p, b * cb, cb, 0)
-        inner = jnp.einsum("bqd,bcd->bqc", q_b.astype(jnp.bfloat16), rows_b,
+        qn_b = jax.lax.dynamic_slice_in_dim(qn_p, b * cb, cb, 0)
+        inner = jnp.einsum("bqd,bcd->bqc", q_b, rows_b,
                            preferred_element_type=jnp.float32)
-        return 2.0 * inner - norms_b[:, None, :]
+        s = 2.0 * inner - norms_b[:, None, :] - qn_b[:, :, None]
+        g = jnp.max(s.reshape(cb, qcap, ng, gs), axis=3).astype(jnp.bfloat16)
+        flat = g.reshape(cb * qcap, ng)
+        if exact:
+            v, p = jax.lax.top_k(flat, kk)
+        else:
+            v, p = jax.lax.approx_max_k(flat, kk, recall_target=0.95)
+        return (v.reshape(cb, qcap, kk),
+                p.astype(jnp.int32).reshape(cb, qcap, kk))
 
-    vals, pos = probe_ops.blocked_cluster_topk(score_fn, nb, kk, exact=exact)
-    vals, pos = vals[:ncl], pos[:ncl]
-    ids_k = jnp.take_along_axis(
-        jnp.broadcast_to(bucket_ids[:, None, :], (ncl, qcap, cap)), pos,
-        axis=2)
-    top_s, top_i = probe_ops.gather_merge_topk(vals, ids_k, ok, ent_c, ent_r,
-                                               nq, k)
-    qn = jnp.sum(qp * qp, axis=1, keepdims=True)
-    d2 = jnp.maximum(qn - top_s, 0.0)
+    vals, pos = jax.lax.map(one, jnp.arange(nb))
+    vals = vals.reshape(-1, qcap, kk)[:ncl]
+    pos = pos.reshape(-1, qcap, kk)[:ncl]
+
+    # per-query merge: flat 1-D row gathers (2-D fancy indices lowered to a
+    # ~12 ms gather on the chip; flat rows ~2 ms)
+    flat_idx = ent_c * qcap + ent_r
+    cand_v = jnp.where(ok[:, None],
+                       vals.reshape(ncl * qcap, kk)[flat_idx]
+                       .astype(jnp.float32), -jnp.inf)
+    cand_g = pos.reshape(ncl * qcap, kk)[flat_idx] + ent_c[:, None] * ng
+    cand_v = cand_v.reshape(nq, -1)
+    cand_g = cand_g.reshape(nq, -1)
+    m = min(max(m_groups, k), cand_v.shape[1])
+    _, posm = jax.lax.top_k(cand_v, m)
+    win_g = jnp.take_along_axis(cand_g, posm, axis=1)      # (nq, m)
+
+    # expand winning groups to rows; rescore exactly against the flat DB
+    row_idx = win_g[:, :, None] * gs + jnp.arange(gs)[None, None, :]
+    ids = bucket_ids.reshape(-1)[row_idx.reshape(nq, m * gs)]
+    safe = jnp.maximum(ids, 0)
+    inner = jnp.einsum("qd,qmd->qm", qp.astype(jnp.bfloat16), db_rows[safe],
+                       preferred_element_type=jnp.float32)
+    score = jnp.where(ids >= 0, 2.0 * inner - db_norms[safe], -jnp.inf)
+    top_s, post = jax.lax.top_k(score, k)
+    top_i = jnp.take_along_axis(ids, post, axis=1)
+    d2 = jnp.maximum(qn[:, None] - top_s, 0.0)
     return jnp.where(top_i >= 0, d2, jnp.inf), top_i
 
 
@@ -247,8 +304,8 @@ class IVFSearcher:
     def _sizes_np(self) -> np.ndarray:
         return np.asarray(self.state.sizes)
 
-    def params(self, k: int, nq: int) -> Tuple[int, int, int, int]:
-        """(p_visit, p_max, qcap, cb) — static shapes for this (k, nq)."""
+    def params(self, k: int, nq: int) -> Tuple[int, int, int, int, int]:
+        """(p_visit, p_max, qcap, cb, gs) — static shapes for this (k, nq)."""
         st = self.state
         ncl = st.ncl
         p_visit = max(1, int(np.ceil(self.visit * ncl)))
@@ -261,8 +318,11 @@ class IVFSearcher:
         # drops require pathologically correlated queries (documented in
         # ops/probe.py).
         qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl)
-        cb = min(ncl, max(1, (1 << 25) // max(qcap * st.cap, 1)))
-        return p_visit, p_max, qcap, cb
+        # block size: keep the worst-case f32 score intermediate ≤ ~1 GB in
+        # case the group-max epilogue fusion ever fails to elide it
+        cb = min(ncl, max(1, (1 << 28) // max(4 * qcap * st.cap, 1)))
+        gs = next(g for g in (16, 8, 4, 2, 1) if st.cap % g == 0)
+        return p_visit, p_max, qcap, cb, gs
 
     def probes(self, k: int) -> int:
         """Static probe count (legacy accessor used by tests/tools)."""
@@ -272,10 +332,13 @@ class IVFSearcher:
                exact: bool = True):
         st = self.state
         qp = jnp.asarray(qp)
-        p_visit, p_max, qcap, cb = self.params(k, qp.shape[0])
+        p_visit, p_max, qcap, cb, gs = self.params(k, qp.shape[0])
+        index._ensure_decoded()
         return probe_scan(qp, jnp.asarray(st.centroids), st.bucket_rows,
-                          st.bucket_norms, st.bucket_ids, st.sizes, k,
-                          p_visit, p_max, qcap, exact=exact, cb=cb)
+                          st.bucket_norms, st.bucket_ids, st.sizes,
+                          index.decoded, jnp.asarray(index.decoded_norms),
+                          k, p_visit, p_max, qcap, exact=exact, cb=cb,
+                          gs=gs)
 
 
 def attach_ivf(index, verbose: bool = False):

@@ -74,31 +74,31 @@ def dispatch_table(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Build the (ncl, qcap) table of query ids per cluster.
 
+    Sort- and scatter-free formulation (the r1 version's 102k-element
+    argsort + searchsorted + scatter measured ~14 ms on the chip; this one
+    ~3 ms): a (nq, ncl) membership mask is built by a fused one-hot
+    reduction, per-cluster ranks are its exclusive column cumsum, and the
+    table itself is one batched per-cluster sort of query ids (occupied
+    slots sort ahead of the ``nq`` sentinel).
+
     Returns (table (ncl, qcap) i32 with nq = empty slot,
              ok (nq·p_max,) bool — entry dispatched,
              ent_c (nq·p_max,) i32 — entry's cluster,
              ent_r (nq·p_max,) i32 — entry's rank within the cluster).
     """
     nq, p_max = probe.shape
-    e = nq * p_max
-    flat_c = jnp.where(active, probe, ncl).reshape(-1)     # sentinel ncl
-    flat_q = jax.lax.broadcasted_iota(jnp.int32, (nq, p_max), 0).reshape(-1)
-
-    # rank of each entry within its cluster: sort by cluster, subtract the
-    # segment start, invert the permutation
-    sort_idx = jnp.argsort(flat_c)
-    sorted_c = flat_c[sort_idx]
-    seg_start = jnp.searchsorted(sorted_c, sorted_c, side="left")
-    pos = jax.lax.broadcasted_iota(jnp.int32, (e, 1), 0).squeeze(-1)
-    rank_sorted = pos - seg_start.astype(jnp.int32)
-    rank = jnp.zeros(e, jnp.int32).at[sort_idx].set(rank_sorted)
-
-    ok = (flat_c < ncl) & (rank < qcap)
-    table = jnp.full((ncl + 1, qcap), nq, jnp.int32)
-    table = table.at[
-        jnp.where(ok, flat_c, ncl), jnp.where(ok, rank, 0)
-    ].set(jnp.where(ok, flat_q, nq))
-    return table[:ncl], ok, jnp.where(ok, flat_c, 0), jnp.where(ok, rank, 0)
+    oh = jax.nn.one_hot(jnp.where(active, probe, ncl), ncl + 1,
+                        dtype=jnp.bfloat16)            # fused into the sum
+    mask = jnp.einsum("qpc->qc", oh)[:, :ncl] > 0.5    # (nq, ncl)
+    mask_i = mask.astype(jnp.int32)
+    rank_excl = jnp.cumsum(mask_i, axis=0) - mask_i
+    ent_r = jnp.take_along_axis(rank_excl, probe, axis=1)  # (nq, p_max)
+    ok = active & (ent_r < qcap)
+    colq = jnp.where(mask, jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0),
+                     nq).T                             # (ncl, nq)
+    table = jax.lax.sort(colq, dimension=1)[:, :qcap]
+    return (table, ok.reshape(-1), jnp.where(ok, probe, 0).reshape(-1),
+            jnp.where(ok, ent_r, 0).reshape(-1))
 
 
 def gather_merge_topk(
@@ -111,10 +111,18 @@ def gather_merge_topk(
     k: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-query merge: gather each entry's per-cluster candidates and take
-    the final top-k by score (descending score = ascending distance)."""
-    kk = vals.shape[2]
-    cand_v = jnp.where(ok[:, None], vals[ent_c, ent_r], -jnp.inf)
-    cand_i = jnp.where(ok[:, None], ids[ent_c, ent_r], -1)
+    the final top-k by score (descending score = ascending distance).
+
+    The candidate gathers use flat 1-D row indices (``c·qcap + r``): the
+    2-D fancy-index form ``vals[ent_c, ent_r]`` lowers to a ~12 ms gather
+    on the chip where the flat row gather takes ~2 ms for the same bytes.
+    """
+    ncl, qcap, kk = vals.shape
+    flat_idx = ent_c * qcap + ent_r
+    cand_v = jnp.where(ok[:, None], vals.reshape(ncl * qcap, kk)[flat_idx],
+                       -jnp.inf)
+    cand_i = jnp.where(ok[:, None], ids.reshape(ncl * qcap, kk)[flat_idx],
+                       -1)
     cand_v = cand_v.reshape(nq, -1)
     cand_i = cand_i.reshape(nq, -1)
     kk_out = min(k, cand_v.shape[1])
