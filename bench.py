@@ -50,6 +50,9 @@ def main():
                    help="skip the SearchServer latency measurement")
     p.add_argument("--ivf-visit", type=float, default=0.10)
     p.add_argument("--ivf-clusters", type=int, default=1000)
+    p.add_argument("--serving-rate", type=float, default=8000.0,
+                   help="offered load (QPS) for the paced serving latency "
+                        "measurement")
     args = p.parse_args()
 
     import jax
@@ -272,7 +275,9 @@ def main():
         log(f"ivf QPS={ivf_qps:.1f} ({ivf_ms:.3f}ms/batch) "
             f"recall@{args.k}={ivf_rec:.4f} (visit={args.ivf_visit})")
 
-    # Serving latency under continuous batching (VERDICT r1 #9).
+    # Serving latency under continuous batching (VERDICT r1 #9): a paced
+    # open-loop load at --serving-rate QPS (not a burst — burst p95 measures
+    # queue depth, not the server), end-to-end submit→result latencies.
     serving_p50 = serving_p95 = serving_qps = None
     if not args.no_serving:
         from vaq_tpu.serving import SearchServer
@@ -280,18 +285,29 @@ def main():
         srv = SearchServer(idx, k=args.k, max_batch=256, max_wait_ms=2.0)
         # warm the compiled path
         srv.search(queries[0])
-        offered = queries[np.arange(2048) % queries.shape[0]]
+        n_off = 4096
+        offered = queries[np.arange(n_off) % queries.shape[0]]
+        spacing = 1.0 / args.serving_rate
+        futs = []
         t0 = time.perf_counter()
-        futs = [srv.submit(offered[i]) for i in range(offered.shape[0])]
+        for i in range(n_off):
+            target = t0 + i * spacing
+            while True:
+                dt = target - time.perf_counter()
+                if dt <= 0:
+                    break
+                time.sleep(min(dt, 0.0005))
+            futs.append(srv.submit(offered[i]))
         for f in futs:
             f.result(timeout=120)
         wall = time.perf_counter() - t0
-        serving_qps = offered.shape[0] / wall
+        serving_qps = n_off / wall
         lat = srv.stats.summary()
         serving_p50, serving_p95 = lat.get("p50_ms"), lat.get("p95_ms")
         srv.close()
-        log(f"serving: {serving_qps:.0f} QPS offered-2048, "
-            f"p50={serving_p50}ms p95={serving_p95}ms")
+        log(f"serving: offered {args.serving_rate} QPS, achieved "
+            f"{serving_qps:.0f}, p50={serving_p50:.1f}ms "
+            f"p95={serving_p95:.1f}ms (end-to-end)")
 
     vs_baseline = 1.0
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

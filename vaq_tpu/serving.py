@@ -6,11 +6,13 @@ coalesces concurrently-arriving queries into fixed-shape device batches:
 
 * requests are queued and packed into a static ``max_batch`` batch (padded —
   a single compiled program serves every batch size);
-* batch i+1 is dispatched before batch i's results are fetched, so the
-  host↔device transfer latency overlaps the next batch's compute
-  (double-buffering; SURVEY §5's "overlap the collective with the next
-  batch's scan" applied at the host boundary);
-* results are delivered per-request via futures.
+* dispatch is decoupled from result fetching: the batching loop launches
+  device work and hands the (still device-resident) results to a small
+  fetcher pool, so up to ``pipeline_depth`` host↔device transfers overlap
+  in-flight compute instead of serializing behind it (SURVEY §5's "overlap
+  the collective with the next batch's scan" applied at the host boundary);
+* results are delivered per-request via futures; latency statistics are
+  end-to-end (submit → result available), not device-time-only.
 """
 
 from __future__ import annotations
@@ -18,10 +20,13 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+# (submitted query rows, caller future, submit timestamp)
+_Req = Tuple[np.ndarray, Future, float]
 
 
 class SearchServer:
@@ -29,7 +34,7 @@ class SearchServer:
 
     def __init__(self, index, k: int, max_batch: int = 256,
                  max_wait_ms: float = 2.0, backend: str = "decoded",
-                 recall_target: float = 0.99):
+                 recall_target: float = 0.99, pipeline_depth: int = 4):
         import jax.numpy as jnp
 
         self._jnp = jnp
@@ -40,14 +45,22 @@ class SearchServer:
         self.backend = backend
         self.recall_target = recall_target
         self._queue: "queue.Queue" = queue.Queue()
-        self._carry = None     # request that overflowed the previous batch
+        self._carry: Optional[_Req] = None  # overflow from the previous batch
         self._running = True
-        self._pending: Optional[Tuple[list, object, object, np.ndarray, float]] = None
         self.batches_served = 0
         self.queries_served = 0
         from vaq_tpu.profiling import LatencyStats
 
         self.stats = LatencyStats()
+        self._lock = threading.Lock()
+        # Bounds dispatch-ahead: at most pipeline_depth batches in flight
+        # between "launched on device" and "results fetched", so a slow
+        # tunnel fetch (~30 ms here) overlaps later batches' compute/fetch
+        # instead of gating the dispatch loop (r1 was depth-1 and serialized
+        # every fetch: measured p50 168 ms for an offered burst of 2048).
+        self._slots = threading.Semaphore(pipeline_depth)
+        self._fetchers = ThreadPoolExecutor(max_workers=pipeline_depth,
+                                            thread_name_prefix="vaq-fetch")
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -62,7 +75,7 @@ class SearchServer:
                 f"group of {q.shape[0]} queries exceeds max_batch="
                 f"{self.max_batch}; split the request"))
             return fut
-        self._queue.put((q, fut))
+        self._queue.put((q, fut, time.perf_counter()))
         return fut
 
     def search(self, query: np.ndarray, timeout: float = 60.0):
@@ -71,11 +84,11 @@ class SearchServer:
     def close(self) -> None:
         self._running = False
         self._queue.put(None)
-        self._thread.join(timeout=10.0)
-        self._flush_pending()
+        self._thread.join(timeout=30.0)
+        self._fetchers.shutdown(wait=True)
 
     # ------------------------------------------------------------------
-    def _collect_batch(self) -> Optional[List[Tuple[np.ndarray, Future]]]:
+    def _collect_batch(self) -> Optional[List[_Req]]:
         if self._carry is not None:
             first = self._carry
             self._carry = None
@@ -90,13 +103,17 @@ class SearchServer:
         rows = first[0].shape[0]
         deadline = time.perf_counter() + self.max_wait_s
         while rows < self.max_batch:
-            remaining = deadline - time.perf_counter()
-            if remaining <= 0:
-                break
+            # drain any burst without paying a timed get per request
             try:
-                nxt = self._queue.get(timeout=remaining)
+                nxt = self._queue.get_nowait()
             except queue.Empty:
-                break
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
             if nxt is None:
                 self._queue.put(None)  # re-signal shutdown
                 break
@@ -107,34 +124,55 @@ class SearchServer:
             rows += nxt[0].shape[0]
         return items
 
-    def _dispatch(self, items: List[Tuple[np.ndarray, Future]]):
+    def _dispatch(self, items: List[_Req]):
         jnp = self._jnp
-        qs = np.concatenate([q for q, _ in items], axis=0)
+        qs = np.concatenate([q for q, _, _ in items], axis=0)
         nrows = qs.shape[0]
         if nrows < self.max_batch:
             qs = np.pad(qs, ((0, self.max_batch - nrows), (0, 0)))
         else:
             qs = qs[: self.max_batch]
-        t0 = time.perf_counter()
         d, i = self.index.search_device(
             jnp.asarray(qs), self.k, backend=self.backend,
             recall_target=self.recall_target)
-        return (items, d, i, nrows, t0)
+        # Fuse distances + labels into ONE device array so _finish pays a
+        # single device→host transfer (each transfer costs a full tunnel
+        # round trip — two fetches per batch halved the serving ceiling).
+        # Labels are bitcast, not value-cast: f32 can't represent row ids
+        # beyond 2^24 exactly.
+        import jax
 
-    def _flush_pending(self) -> None:
-        if self._pending is None:
+        fused = jnp.concatenate(
+            [d.astype(jnp.float32),
+             jax.lax.bitcast_convert_type(i.astype(jnp.int32), jnp.float32)],
+            axis=1)
+        return fused, nrows
+
+    def _finish(self, items: List[_Req], fused, nrows: int) -> None:
+        """Fetcher-pool body: block on the device→host transfer, resolve the
+        callers' futures, record end-to-end latency per request."""
+        try:
+            arr = np.asarray(fused)
+            d_np = arr[:, : self.k]
+            i_np = np.ascontiguousarray(arr[:, self.k:]).view(np.int32)
+        except Exception as e:
+            for _, fut, _ in items:
+                if not fut.done():
+                    fut.set_exception(e)
             return
-        items, d, i, nrows, t0 = self._pending
-        self._pending = None
-        d_np, i_np = np.asarray(d), np.asarray(i)
-        self.stats.record(time.perf_counter() - t0, nrows)
+        finally:
+            self._slots.release()
+        now = time.perf_counter()
         row = 0
-        for q, fut in items:
+        with self._lock:
+            for q, fut, t_submit in items:
+                self.stats.record(now - t_submit, q.shape[0])
+            self.batches_served += 1
+            self.queries_served += nrows
+        for q, fut, _ in items:
             g = q.shape[0]
             fut.set_result((d_np[row: row + g], i_np[row: row + g]))
             row += g
-        self.batches_served += 1
-        self.queries_served += row
 
     def _loop(self) -> None:
         while self._running:
@@ -142,15 +180,14 @@ class SearchServer:
             if items is None:
                 break
             if not items:
-                self._flush_pending()  # drain while idle
                 continue
+            self._slots.acquire()
             try:
-                dispatched = self._dispatch(items)  # async dispatch (device)
-                self._flush_pending()               # fetch previous batch
-                self._pending = dispatched
-            except Exception as e:                  # fail the batch, not the server
-                self._pending = None
-                for _, fut in items:
+                fused, nrows = self._dispatch(items)  # async device launch
+            except Exception as e:   # fail the batch, not the server
+                self._slots.release()
+                for _, fut, _ in items:
                     if not fut.done():
                         fut.set_exception(e)
-        self._flush_pending()
+                continue
+            self._fetchers.submit(self._finish, items, fused, nrows)
