@@ -190,6 +190,9 @@ def main():
 
         qps_h, ms_h = measure(ham_step, args.iters)
         log(f"hamming QPS={qps_h:.1f} ({ms_h:.3f}ms/batch)")
+        # free the binary DB before the capacity/IVF sections (2.6 GB HBM
+        # at 10M rows; the later sections need the headroom)
+        del bidx, b01, bpop, qpk, ham_step
 
     # Codes-resident capacity tier (VERDICT r1 #1): the XLA gather scan at
     # this index's codes, and the Pallas fast4 kernel on a FAST-config index
@@ -244,6 +247,10 @@ def main():
         fast4_rec = metrics.avg_recall(fl, gt, args.k)
         log(f"fast4(pallas) QPS={fast4_qps:.1f} ({fast4_ms:.3f}ms/batch) "
             f"recall@{args.k}={fast4_rec:.4f} [{fast_cfg_s}]")
+        # release the FAST index + LUT slabs before the IVF section builds
+        # its bucketed copy of the decoded DB
+        del fidx, fcodes, fluts, fqp, fast4_step, lut_step, codes_dev
+        del luts_dev
 
     # IVF cluster-probe tier (VERDICT r1 #3): visit fraction vs exhaustive.
     ivf_qps = ivf_ms = ivf_rec = None
@@ -255,6 +262,8 @@ def main():
         ti_cfg = _dc.replace(idx.config, ti_cluster_num=args.ivf_clusters,
                              ti_segment_num=16, visit=args.ivf_visit)
         idx.config = ti_cfg
+        # the int8 tier isn't used by the IVF path; reclaim its HBM first
+        idx.decoded8 = idx.decoded8_scales = idx.decoded8_norms = None
         t0 = time.perf_counter()
         state = build_ivf(idx)
         searcher = IVFSearcher(state, args.ivf_visit)

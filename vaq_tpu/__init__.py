@@ -21,13 +21,20 @@ orchestrates training-time control flow (the ILP, the k-means loop driver).
 """
 
 from vaq_tpu.config import SearchMethod, VAQConfig, parse_method_string
+from vaq_tpu.errors import (ConfigError, FormatError, NotReadyError,
+                            ShapeError, VAQError)
 from vaq_tpu.vaq import VAQIndex
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "SearchMethod",
     "VAQConfig",
     "parse_method_string",
     "VAQIndex",
+    "VAQError",
+    "ConfigError",
+    "NotReadyError",
+    "ShapeError",
+    "FormatError",
 ]

@@ -29,6 +29,8 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
+from vaq_tpu.errors import ConfigError
+
 NEG_INF = -np.inf
 
 
@@ -83,7 +85,7 @@ def solve_budgeted_dp(
     B = int(budget)
 
     if B > m * ub or B < int(lbs.sum()):
-        raise ValueError(
+        raise ConfigError(
             f"bit budget {B} infeasible for {m} variables with bounds "
             f"[{lbs.min()},{ub}]"
         )
@@ -112,7 +114,7 @@ def solve_budgeted_dp(
 
     final = dp[:, B]
     if not np.any(final > NEG_INF):
-        raise ValueError("bit allocation ILP infeasible")
+        raise ConfigError("bit allocation ILP infeasible")
 
     # Backtrack. Ties in the objective are broken deterministically toward the
     # most balanced profile (x closest to budget/m): variance ties mean the
@@ -175,7 +177,7 @@ def allocate_bits(
     """
     v = np.asarray(variances, dtype=np.float64)
     if v.shape[0] == 0:
-        raise ValueError("no subspaces")
+        raise ConfigError("no subspaces")
     if cum_var is None:
         cum_var = np.cumsum(v)
     cum_var = np.asarray(cum_var, dtype=np.float64)

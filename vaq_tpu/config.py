@@ -21,6 +21,8 @@ import enum
 import re
 from typing import Optional, Tuple
 
+from vaq_tpu.errors import ConfigError
+
 
 class SearchMethod(enum.IntFlag):
     """Scan-strategy bitmask, value-compatible with the reference enum."""
@@ -68,7 +70,7 @@ class VAQConfig:
     def __post_init__(self):
         if (self.methods & SearchMethod.FAST) and self.max_bits > 4:
             # Same constraint as reference VAQ.cpp:1263-1266.
-            raise ValueError(
+            raise ConfigError(
                 "max bits per subspace cannot exceed 4 with the FAST method"
             )
 

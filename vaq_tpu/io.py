@@ -18,6 +18,8 @@ from typing import Optional
 
 import numpy as np
 
+from vaq_tpu.errors import FormatError
+
 
 # ---------------------------------------------------------------------------
 # Texmex-style vector file formats: each record is [int32 dim][dim elements].
@@ -39,10 +41,10 @@ def _read_vecs(path: str, elem_dtype, max_rows: Optional[int] = None) -> np.ndar
         return np.zeros((0, 0), dtype=elem_dtype)
     dim = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
     if dim <= 0:
-        raise ValueError(f"{path}: bad leading dimension {dim}")
+        raise FormatError(f"{path}: bad leading dimension {dim}")
     record_bytes = 4 + dim * elem_dtype.itemsize
     if raw.size % record_bytes != 0:
-        raise ValueError(
+        raise FormatError(
             f"{path}: size {raw.size} not a multiple of record size {record_bytes}"
         )
     n = raw.size // record_bytes
@@ -53,7 +55,7 @@ def _read_vecs(path: str, elem_dtype, max_rows: Optional[int] = None) -> np.ndar
     # Sanity-check every record's dim header matches.
     dims = rec[:, :4].copy().view(np.int32).reshape(-1)
     if not np.all(dims == dim):
-        raise ValueError(f"{path}: inconsistent record dimensions")
+        raise FormatError(f"{path}: inconsistent record dimensions")
     body = rec[:, 4:].copy().view(elem_dtype)
     return body.reshape(n, dim)
 
@@ -182,11 +184,11 @@ def read_dataset(path: str, dim: Optional[int] = None,
         return read_ivecs(path, max_rows)
     if ext in (".bin", ".fbin"):
         if dim is None:
-            raise ValueError("dim required for headerless .bin files")
+            raise FormatError("dim required for headerless .bin files")
         return read_bin(path, dim, max_rows=max_rows)
     if ext in (".txt", ".csv", ".ascii"):
         return read_ascii(path, "," if ext == ".csv" else None, max_rows)
-    raise ValueError(f"unknown dataset extension: {path}")
+    raise FormatError(f"unknown dataset extension: {path}")
 
 
 def pad_dims(x: np.ndarray, multiple: int) -> np.ndarray:

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vaq_tpu import kmeans
+from vaq_tpu.errors import ConfigError
 from vaq_tpu.ops import probe as probe_ops
 
 
@@ -86,29 +87,37 @@ def build_ivf(index, verbose: bool = False,
     """
     cfg = index.config
     index._ensure_decoded()
-    decoded = np.asarray(index.decoded, dtype=np.float32)
-    norms = np.asarray(index.decoded_norms)
-    n, d_full = decoded.shape
+    dec_dev = index.decoded                     # (n, D) bf16, device
+    norms_dev = jnp.asarray(index.decoded_norms)
+    n, d_full = dec_dev.shape
     seg_subs = resolve_seg_num(cfg, index.cum_var_per_subs, index.highest_subs)
     seg_subs = min(seg_subs, index.highest_subs)
     seg_dims = seg_subs * index.subs_len
     ncl = int(cfg.ti_cluster_num)
     if ncl <= 0:
-        raise ValueError("ti_cluster_num must be set for the TI/IVF method")
+        raise ConfigError("ti_cluster_num must be set for the TI/IVF method")
 
-    prefix = decoded[:, :seg_dims]
-    cents, assign = kmeans.fit(prefix, ncl, iters=cfg.kmeans_iters,
-                               seed=cfg.seed)
+    # Everything data-proportional stays on device: the r1 build fetched the
+    # decoded DB to host and pushed padded buckets back (2×5 GB through the
+    # tunnel at 10M rows — it dominated the build).
+    prefix = dec_dev[:, :seg_dims].astype(jnp.float32)
+    rng = np.random.default_rng(cfg.seed)
+    init_idx = (rng.choice(n, size=ncl, replace=False) if n >= ncl
+                else rng.choice(n, size=ncl, replace=True))
+    c0 = prefix[jnp.asarray(init_idx.astype(np.int32))]
+    cents_dev = kmeans.lloyd(prefix, c0, iters=cfg.kmeans_iters)
+    assign = np.asarray(kmeans.assign_clusters(prefix, cents_dev),
+                        dtype=np.int64)
+    cents = np.asarray(cents_dev)
 
     # Capacity-bounded reassignment: pick the S nearest clusters per row,
     # fill clusters first-choice-first with a hard cap.
     cap = max(1, int(math.ceil(balance_cap_factor * n / ncl)))
     if np.bincount(assign, minlength=ncl).max() > cap:
         s_cand = min(8, ncl)
+
         # top-S candidate clusters per row, computed in row blocks so the
         # (n, ncl) distance matrix is never materialized (40 GB at 10M×1k)
-        cents_dev = jnp.asarray(cents)
-
         @jax.jit
         def _topS(block):
             d2b = probe_ops.cluster_sq_dists(block, cents_dev)
@@ -119,7 +128,7 @@ def build_ivf(index, verbose: bool = False,
         blk = 1 << 20
         for start in range(0, n, blk):
             cand[start:start + blk] = np.asarray(
-                _topS(jnp.asarray(prefix[start:start + blk])))
+                _topS(prefix[start:start + blk]))
         # round-based greedy fill (vectorized): in round j, unplaced rows
         # claim their j-th nearest cluster; each cluster admits claimants up
         # to its remaining space in row order
@@ -155,30 +164,34 @@ def build_ivf(index, verbose: bool = False,
               f"sizes min/mean/max = {sizes.min()}/{sizes.mean():.0f}/"
               f"{sizes.max()}")
 
-    rows = np.zeros((ncl, cap, d_full), dtype=np.float32)
-    bnorms = np.full((ncl, cap), np.inf, dtype=np.float32)
+    # bucket membership table on host (one vectorized scatter, no per-cluster
+    # loop), then ONE device gather materializes the padded buckets from the
+    # already-resident decoded DB
+    del prefix  # free the f32 projection before materializing buckets
     bids = np.full((ncl, cap), -1, dtype=np.int32)
     order = np.argsort(assign, kind="stable")
-    start = 0
-    for c in range(ncl):
-        members = order[start:start + sizes[c]]
-        start += sizes[c]
-        rows[c, : len(members)] = decoded[members]
-        bnorms[c, : len(members)] = norms[members]
-        bids[c, : len(members)] = members
+    sorted_assign = assign[order]
+    seg_start = np.searchsorted(sorted_assign, sorted_assign, side="left")
+    rank = np.arange(n) - seg_start
+    bids[sorted_assign, rank] = order.astype(np.int32)
 
+    bids_dev = jnp.asarray(bids)
+    safe = jnp.maximum(bids_dev, 0).reshape(-1)
+    rows_dev = dec_dev[safe].reshape(ncl, cap, d_full)
+    bnorms = jnp.where(bids_dev >= 0,
+                       norms_dev[safe].reshape(ncl, cap), jnp.inf)
     # rows deleted before the build carry +inf norms; exclude them from the
     # live member counts the visit rule uses
-    live = np.isfinite(bnorms).sum(axis=1).astype(np.int32)
+    live = jnp.isfinite(bnorms).sum(axis=1).astype(jnp.int32)
 
     return IVFState(
         centroids=cents,
         seg_dims=seg_dims,
         cap=cap,
-        bucket_rows=jnp.asarray(rows).astype(jnp.bfloat16),
-        bucket_norms=jnp.asarray(bnorms),
-        bucket_ids=jnp.asarray(bids),
-        sizes=jnp.asarray(live),
+        bucket_rows=rows_dev,
+        bucket_norms=bnorms,
+        bucket_ids=bids_dev,
+        sizes=live,
     )
 
 

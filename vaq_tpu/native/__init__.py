@@ -86,8 +86,15 @@ def read_vecs(path: str, elem_dtype, max_rows=None) -> Optional[np.ndarray]:
     if mod is None:
         return None
     elem_dtype = np.dtype(elem_dtype)
-    body, n, dim = mod.read_vecs(path, int(elem_dtype.itemsize),
-                                 -1 if max_rows is None else int(max_rows))
+    try:
+        body, n, dim = mod.read_vecs(path, int(elem_dtype.itemsize),
+                                     -1 if max_rows is None else int(max_rows))
+    except ValueError as e:
+        # the C parser raises plain ValueError; re-type to the library's
+        # failure surface so callers can catch FormatError uniformly
+        from vaq_tpu.errors import FormatError
+
+        raise FormatError(str(e)) from None
     return np.frombuffer(body, dtype=elem_dtype).reshape(n, dim).copy()
 
 

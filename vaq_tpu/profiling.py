@@ -53,12 +53,23 @@ class PhaseTimer:
 
 @dataclass
 class LatencyStats:
-    """Rolling query-latency statistics → QPS / p50 / p95 / p99."""
+    """Rolling query-latency statistics → QPS / p50 / p95 / p99.
+
+    Samples may be end-to-end latencies of *overlapping* requests (the
+    serving pipeline keeps several batches in flight), so throughput is
+    computed from the wall-clock span of record() calls, never from the sum
+    of latencies."""
 
     samples: List[float] = field(default_factory=list)
     queries: int = 0
+    _first_t: float = 0.0
+    _last_t: float = 0.0
 
     def record(self, seconds: float, n_queries: int = 1) -> None:
+        now = time.perf_counter()
+        if not self.samples:
+            self._first_t = now
+        self._last_t = now
         self.samples.append(seconds)
         self.queries += n_queries
 
@@ -66,13 +77,13 @@ class LatencyStats:
         if not self.samples:
             return {}
         s = sorted(self.samples)
-        total = sum(s)
+        span = self._last_t - self._first_t
 
         def pct(p):
             return s[min(len(s) - 1, int(p * len(s)))] * 1000.0
 
         return {
-            "qps": self.queries / total if total > 0 else 0.0,
+            "qps": self.queries / span if span > 0 else float(self.queries),
             "p50_ms": pct(0.50),
             "p95_ms": pct(0.95),
             "p99_ms": pct(0.99),

@@ -34,6 +34,7 @@ import numpy as np
 
 from vaq_tpu import bitalloc, io, kmeans, pca
 from vaq_tpu.config import SearchMethod, VAQConfig
+from vaq_tpu.errors import ConfigError, NotReadyError, ShapeError
 from vaq_tpu.ops import scan_decoded, scan_jax, scan_pallas
 from vaq_tpu.rng import sample_rows
 
@@ -264,6 +265,8 @@ class VAQIndex:
     # ------------------------------------------------------------------
     def encode(self, x: np.ndarray, verbose: bool = False,
                chunk_rows: int = 2_000_000) -> "VAQIndex":
+        if self.centroids is None:
+            raise NotReadyError("encode() requires train() first")
         x = io.pad_dims(np.asarray(x, dtype=np.float32), self.config.subspace_num)
         t0 = time.perf_counter()
         n = x.shape[0]
@@ -412,10 +415,16 @@ class VAQIndex:
         "lut_gather" (force the XLA gather scan), or "auto".
         """
         cfg = self.config
+        if self.eigvecs is None:
+            raise NotReadyError("search() requires train() first")
+        if self.codes is None:
+            raise NotReadyError("search() requires encode() first")
         queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim != 2:
+            raise ShapeError(f"queries must be (nq, d), got {queries.shape}")
         if queries.shape[1] > self.eigvecs.shape[0] or \
                 (self.orig_dim and queries.shape[1] != self.orig_dim):
-            raise ValueError(
+            raise ShapeError(
                 f"query dim {queries.shape[1]} does not match index dim "
                 f"{self.orig_dim}")
         queries = io.pad_dims(queries, cfg.subspace_num)
@@ -484,7 +493,7 @@ class VAQIndex:
                         lut8_kernel = lut8
                 max_b = int(self.bits.max())
                 if backend == "fast4" and max_b > 4:
-                    raise ValueError(
+                    raise ConfigError(
                         "fast4 backend requires max_bits <= 4 "
                         "(reference constraint, VAQ.cpp:1263-1266)")
                 # The Pallas one-hot scan serves any <= 8-bit config (C =
