@@ -48,7 +48,9 @@ def main():
                    help="skip the IVF cluster-probe measurement")
     p.add_argument("--no-serving", action="store_true",
                    help="skip the SearchServer latency measurement")
-    p.add_argument("--ivf-visit", type=float, default=0.10)
+    p.add_argument("--ivf-visit", default="0.10",
+                   help="visit fraction(s); comma-separated list sweeps "
+                        "several fractions over one IVF build")
     p.add_argument("--ivf-clusters", type=int, default=1000)
     p.add_argument("--serving-rate", type=float, default=8000.0,
                    help="offered load (QPS) for the paced serving latency "
@@ -252,37 +254,44 @@ def main():
         del fidx, fcodes, fluts, fqp, fast4_step, lut_step, codes_dev
         del luts_dev
 
-    # IVF cluster-probe tier (VERDICT r1 #3): visit fraction vs exhaustive.
-    ivf_qps = ivf_ms = ivf_rec = None
+    # IVF cluster-probe tier (VERDICT r1 #3): visit fraction(s) vs
+    # exhaustive, one IVF build shared across the sweep.
+    ivf_results = []
     if not args.no_ivf:
         import dataclasses as _dc
 
         from vaq_tpu.ivf import IVFSearcher, build_ivf
 
+        visits = [float(v) for v in str(args.ivf_visit).split(",")]
         ti_cfg = _dc.replace(idx.config, ti_cluster_num=args.ivf_clusters,
-                             ti_segment_num=16, visit=args.ivf_visit)
+                             ti_segment_num=16, visit=visits[0])
         idx.config = ti_cfg
         # the int8 tier isn't used by the IVF path; reclaim its HBM first
         idx.decoded8 = idx.decoded8_scales = idx.decoded8_norms = None
         t0 = time.perf_counter()
         state = build_ivf(idx)
-        searcher = IVFSearcher(state, args.ivf_visit)
         log(f"ivf build ({args.ivf_clusters} clusters): "
             f"{time.perf_counter() - t0:.1f}s")
         from vaq_tpu import pca
         qp_dev = pca.project(qb_dev, idx.eigvecs, idx.total_dim)
+        qp_all = pca.project(queries, idx.eigvecs, idx.total_dim)
+        for visit in visits:
+            searcher = IVFSearcher(state, visit)
 
-        def ivf_step(q):
-            eps = (jnp.sum(q) * 1e-30)
-            return searcher.search(idx, qp_dev + eps, None, args.k,
-                                   exact=False)
+            def ivf_step(q):
+                eps = (jnp.sum(q) * 1e-30)
+                return searcher.search(idx, qp_dev + eps, None, args.k,
+                                       exact=False)
 
-        ivf_qps, ivf_ms = measure(ivf_step, max(2, args.iters // 4))
-        d_iv, l_iv = searcher.search(idx, pca.project(
-            queries, idx.eigvecs, idx.total_dim), None, args.k, exact=False)
-        ivf_rec = metrics.avg_recall(np.asarray(l_iv), gt, args.k)
-        log(f"ivf QPS={ivf_qps:.1f} ({ivf_ms:.3f}ms/batch) "
-            f"recall@{args.k}={ivf_rec:.4f} (visit={args.ivf_visit})")
+            v_qps, v_ms = measure(ivf_step, max(2, args.iters // 4))
+            d_iv, l_iv = searcher.search(idx, qp_all, None, args.k,
+                                         exact=False)
+            v_rec = metrics.avg_recall(np.asarray(l_iv), gt, args.k)
+            ivf_results.append(
+                {"visit": visit, "qps": round(v_qps, 1),
+                 "ms": round(v_ms, 3), "recall_at_k": round(v_rec, 4)})
+            log(f"ivf QPS={v_qps:.1f} ({v_ms:.3f}ms/batch) "
+                f"recall@{args.k}={v_rec:.4f} (visit={visit})")
 
     # Serving latency under continuous batching (VERDICT r1 #9): a paced
     # open-loop load at --serving-rate QPS (not a burst — burst p95 measures
@@ -291,32 +300,53 @@ def main():
     if not args.no_serving:
         from vaq_tpu.serving import SearchServer
 
+        import threading
+
         srv = SearchServer(idx, k=args.k, max_batch=256, max_wait_ms=2.0)
         # warm the compiled path
         srv.search(queries[0])
         n_off = 4096
         offered = queries[np.arange(n_off) % queries.shape[0]]
-        spacing = 1.0 / args.serving_rate
-        futs = []
+        # paced open-loop load from several submitter threads (one thread
+        # cannot pace beyond ~3k submits/s in Python — the r1 measurement
+        # was client-bound, not server-bound)
+        n_threads = 8
+        per = n_off // n_threads
+        spacing = n_threads / args.serving_rate
+        futs = [None] * n_off
         t0 = time.perf_counter()
-        for i in range(n_off):
-            target = t0 + i * spacing
-            while True:
-                dt = target - time.perf_counter()
-                if dt <= 0:
-                    break
-                time.sleep(min(dt, 0.0005))
-            futs.append(srv.submit(offered[i]))
+
+        def submitter(t):
+            for j in range(per):
+                i = t * per + j
+                target = t0 + j * spacing + t * spacing / n_threads
+                while True:
+                    dt = target - time.perf_counter()
+                    if dt <= 0:
+                        break
+                    time.sleep(min(dt, 0.0005))
+                futs[i] = srv.submit(offered[i])
+
+        threads = [threading.Thread(target=submitter, args=(t,))
+                   for t in range(n_threads)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
         for f in futs:
             f.result(timeout=120)
         wall = time.perf_counter() - t0
         serving_qps = n_off / wall
         lat = srv.stats.summary()
         serving_p50, serving_p95 = lat.get("p50_ms"), lat.get("p95_ms")
-        srv.close()
+        nb = max(srv.batches_served, 1)
         log(f"serving: offered {args.serving_rate} QPS, achieved "
             f"{serving_qps:.0f}, p50={serving_p50:.1f}ms "
-            f"p95={serving_p95:.1f}ms (end-to-end)")
+            f"p95={serving_p95:.1f}ms (end-to-end; fill="
+            f"{srv.sum_fill / nb:.0f}/{srv.max_batch}, "
+            f"fetch={srv.sum_fetch_s / nb * 1000:.1f}ms/batch, "
+            f"{nb} batches)")
+        srv.close()
 
     vs_baseline = 1.0
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -347,10 +377,12 @@ def main():
         out["lut_qps"] = round(lut_qps, 1)
         out["fast4_qps"] = round(fast4_qps, 1)
         out["fast4_recall_at_k"] = round(fast4_rec, 4)
-    if ivf_qps is not None:
-        out["ivf_qps"] = round(ivf_qps, 1)
-        out["ivf_recall_at_k"] = round(ivf_rec, 4)
-        out["ivf_visit"] = args.ivf_visit
+    if ivf_results:
+        out["ivf_qps"] = ivf_results[0]["qps"]
+        out["ivf_recall_at_k"] = ivf_results[0]["recall_at_k"]
+        out["ivf_visit"] = ivf_results[0]["visit"]
+        if len(ivf_results) > 1:
+            out["ivf_sweep"] = ivf_results
     if serving_p50 is not None:
         out["serving_qps"] = round(serving_qps, 1)
         out["serving_p50_ms"] = serving_p50

@@ -52,6 +52,11 @@ class SearchServer:
         from vaq_tpu.profiling import LatencyStats
 
         self.stats = LatencyStats()
+        # dispatch-side instrumentation: batch fill + fetch wall time explain
+        # where a serving ceiling comes from (device, tunnel fetch, or an
+        # under-filled batcher)
+        self.sum_fill = 0          # real (unpadded) rows across batches
+        self.sum_fetch_s = 0.0     # wall time inside _finish's np.asarray
         self._lock = threading.Lock()
         # Bounds dispatch-ahead: at most pipeline_depth batches in flight
         # between "launched on device" and "results fetched", so a slow
@@ -138,13 +143,16 @@ class SearchServer:
         # Fuse distances + labels into ONE device array so _finish pays a
         # single device→host transfer (each transfer costs a full tunnel
         # round trip — two fetches per batch halved the serving ceiling).
-        # Labels are bitcast, not value-cast: f32 can't represent row ids
-        # beyond 2^24 exactly.
+        # The fused dtype must be INT32, not f32: small int32 row ids bitcast
+        # to f32 are denormal bit patterns, and the TPU flushes f32 denormals
+        # to zero in the fused concat (every id < 2^23 came back 0 — caught
+        # on hardware, invisible on CPU). Int lanes never flush, and f32
+        # distance bit patterns survive an int32 pass-through unchanged.
         import jax
 
         fused = jnp.concatenate(
-            [d.astype(jnp.float32),
-             jax.lax.bitcast_convert_type(i.astype(jnp.int32), jnp.float32)],
+            [jax.lax.bitcast_convert_type(d.astype(jnp.float32), jnp.int32),
+             i.astype(jnp.int32)],
             axis=1)
         return fused, nrows
 
@@ -152,9 +160,11 @@ class SearchServer:
         """Fetcher-pool body: block on the device→host transfer, resolve the
         callers' futures, record end-to-end latency per request."""
         try:
-            arr = np.asarray(fused)
-            d_np = arr[:, : self.k]
-            i_np = np.ascontiguousarray(arr[:, self.k:]).view(np.int32)
+            t_f = time.perf_counter()
+            arr = np.asarray(fused)                       # (B, 2k) int32
+            t_fetch = time.perf_counter() - t_f
+            d_np = np.ascontiguousarray(arr[:, : self.k]).view(np.float32)
+            i_np = arr[:, self.k:]
         except Exception as e:
             for _, fut, _ in items:
                 if not fut.done():
@@ -169,6 +179,8 @@ class SearchServer:
                 self.stats.record(now - t_submit, q.shape[0])
             self.batches_served += 1
             self.queries_served += nrows
+            self.sum_fill += nrows
+            self.sum_fetch_s += t_fetch
         for q, fut, _ in items:
             g = q.shape[0]
             fut.set_result((d_np[row: row + g], i_np[row: row + g]))
