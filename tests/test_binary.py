@@ -289,3 +289,61 @@ def test_progressive_filtering_oracle_parity():
         d_got, _ = idx.query_filtering(queries, k=5, n_subvectors=s)
         np.testing.assert_array_equal(np.sort(d_got, axis=1),
                                       np.sort(d_ref, axis=1))
+
+
+def _heap_filtering_oracle(qpacked, db_packed, k, s):
+    """Reference queryFiltering_Heap (BitVecEngine.cpp:1210-1259): rank rows
+    lexicographically by the per-subvector Hamming distance vector."""
+    nq, w = qpacked.shape
+    sub_w = w // s
+    n = db_packed.shape[0]
+    ids = np.empty((nq, k), np.int64)
+    for qi in range(nq):
+        keys = []
+        for r in range(n):
+            vec = []
+            for j in range(s):
+                lo, hi = j * sub_w, (j + 1) * sub_w if j < s - 1 else w
+                x = np.bitwise_xor(qpacked[qi, lo:hi], db_packed[r, lo:hi])
+                vec.append(int(sum(bin(int(v)).count("1") for v in x)))
+            keys.append((tuple(vec), r))
+        keys.sort()
+        ids[qi] = [r for _, r in keys[:k]]
+    return ids
+
+
+def test_progressive_filtering_heap_lexicographic():
+    """query_filtering_heap == the reference's lazy-comparator heap order
+    (lexicographic per-subvector distances), modulo equal-key ties."""
+    from vaq_tpu.binary import BinaryIndex
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((96, 32)).astype(np.float32)
+    idx = BinaryIndex(bit_budget=128).train(base).encode(base)
+    db_packed = np.asarray(idx.packed)
+    queries = base[:8]
+    qpacked = idx.encode_queries(queries)
+
+    def keyvec(qi, r, s):
+        w = qpacked.shape[1]
+        sub_w = w // s
+        vec = []
+        for j in range(s):
+            lo, hi = j * sub_w, (j + 1) * sub_w if j < s - 1 else w
+            x = np.bitwise_xor(qpacked[qi, lo:hi], db_packed[int(r), lo:hi])
+            vec.append(int(sum(bin(int(v)).count("1") for v in x)))
+        return tuple(vec)
+
+    for s in (1, 2, 4):
+        i_ref = _heap_filtering_oracle(qpacked, db_packed, 5, s)
+        sub, i_got = idx.query_filtering_heap(queries, k=5, n_subvectors=s)
+        assert sub.shape == (8, 5, s)
+        for qi in range(8):
+            got_keys = sorted(keyvec(qi, r, s) for r in i_got[qi])
+            ref_keys = sorted(keyvec(qi, r, s) for r in i_ref[qi])
+            # ties between equal key vectors are free; the key multiset
+            # must match exactly
+            assert got_keys == ref_keys, (s, qi, got_keys, ref_keys)
+            # returned sub-distance vectors are the true per-subvector
+            # distances of the returned ids, in lexicographic order
+            assert [tuple(v) for v in sub[qi]] == sorted(
+                keyvec(qi, r, s) for r in i_got[qi])

@@ -13,6 +13,7 @@ A from-scratch JAX/XLA/Pallas re-design of the capabilities of TheDatumOrg/VAQ
 * Exact-distance refinement, LUT u8 quantization, IVF-style cluster probing
   (the TPU analog of the reference's triangle-inequality pruning).
 * A binary/Hamming bit-vector engine (`vaq_tpu.binary`).
+* FP-Growth frequent-pattern mining over codebooks (`vaq_tpu.fpgrowth`).
 * Database sharding over a `jax.sharding.Mesh` with per-shard top-k merged via
   all-gather (`vaq_tpu.parallel`).
 

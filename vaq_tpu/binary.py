@@ -368,6 +368,50 @@ class BinaryIndex:
         neg, idx = jax.lax.top_k(-sel, k)
         return np.asarray(-neg), np.asarray(idx)
 
+    def query_filtering_heap(self, queries: np.ndarray, k: int,
+                             n_subvectors: int,
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+        """Progressive filtering, Heap variant (queryFiltering_Heap,
+        BitVecEngine.cpp:1210-1259).
+
+        The reference's lazy heap comparator materializes per-subvector
+        Hamming distances on demand, which amounts to ranking rows
+        **lexicographically** by their per-subvector distance vector
+        (d_0, d_1, …) — a different order from the Sort variant's
+        cumulative-distance answer. TPU-native split: the per-subvector
+        distance stack is one batched XOR+popcount dispatch; the
+        lexicographic top-k runs on host (``np.lexsort``), since a
+        multi-word sort key has no MXU mapping and this path exists for
+        behavior parity, not throughput (SURVEY B10 marks it CPU-idiom).
+
+        Returns (sub_dists (nq, k, S) int32 — the reference's
+        ``IdxSubDistPair.dist`` vectors — and ids (nq, k)).
+        """
+        qpacked = jnp.asarray(self.encode_queries(queries))
+        w = self.packed.shape[1]
+        s = max(1, min(n_subvectors, w))
+        sub_w = w // s
+
+        @jax.jit
+        def stage_dists(db, qs):
+            outs = []
+            for j in range(s):
+                lo = j * sub_w
+                hi = (j + 1) * sub_w if j < s - 1 else w
+                x = jnp.bitwise_xor(qs[:, None, lo:hi], db[None, :, lo:hi])
+                outs.append(jnp.sum(jax.lax.population_count(x), axis=2))
+            return jnp.stack(outs)                      # (S, nq, n)
+
+        d = np.asarray(stage_dists(self.packed, qpacked))
+        nq = d.shape[1]
+        ids = np.empty((nq, k), np.int32)
+        sub = np.empty((nq, k, s), np.int32)
+        for qi in range(nq):                            # host lexicographic
+            order = np.lexsort(d[::-1, qi, :])[:k]      # primary key last
+            ids[qi] = order
+            sub[qi] = d[:, qi, order].T
+        return sub, ids
+
     # ------------------------------------------------------------------
     # CRUD (reference get/append/deleteBitV, BitVecEngine.cpp:1626-1636)
     # ------------------------------------------------------------------
