@@ -196,30 +196,20 @@ def main():
         # at 10M rows; the later sections need the headroom)
         del bidx, b01, bpop, qpk, ham_step
 
-    # Codes-resident capacity tier (VERDICT r1 #1): the XLA gather scan at
-    # this index's codes, and the Pallas fast4 kernel on a FAST-config index
-    # (max 4 bits/subspace, reference constraint VAQ.cpp:1263-1266).
-    lut_qps = lut_ms = fast4_qps = fast4_ms = fast4_rec = None
+    # Codes-resident capacity tier (VERDICT r1 #1): the decode-then-dot
+    # Pallas kernel over the raw codes (32 B/row resident at this config) on
+    # the headline index, plus the same tier on a <=4-bit FAST-config index
+    # (the reference's FAST family constraint, VAQ.cpp:1263-1266).
+    lut_qps = lut_ms = codes_rec = fast4_qps = fast4_ms = fast4_rec = None
     if not args.no_capacity:
-        from vaq_tpu.ops import scan_jax, scan_pallas
-        from vaq_tpu import pca
+        def codes_step(q):
+            return idx.search_device(q, args.k, backend="codes")
 
-        qp_dev = pca.project(qb_dev, idx.eigvecs, idx.total_dim)
-        luts_dev = jax.block_until_ready(
-            scan_jax.build_luts(qp_dev, jnp.asarray(idx.centroids)))
-        codes_dev = idx.codes
-
-        def lut_step(q):
-            # the codes-resident tier: Pallas one-hot scan at C = 2^max_bits
-            eps = (jnp.sum(q) * 1e-30)
-            d, i = scan_pallas.fast4_scan_topk(
-                codes_dev, luts_dev + eps, args.k,
-                n_valid=jnp.int32(idx.n_rows))
-            return d, i
-
-        qps_l, ms_l = measure(lut_step, max(2, args.iters // 8))
-        lut_qps, lut_ms = qps_l, ms_l
-        log(f"lut(gather) QPS={lut_qps:.1f} ({lut_ms:.3f}ms/batch)")
+        lut_qps, lut_ms = measure(codes_step, max(2, args.iters // 2))
+        _, cl_lab = idx.search(queries, args.k, backend="codes")
+        codes_rec = metrics.avg_recall(cl_lab, gt, args.k)
+        log(f"codes(decode-dot) QPS={lut_qps:.1f} ({lut_ms:.3f}ms/batch) "
+            f"recall@{args.k}={codes_rec:.4f}")
 
         fast_cfg_s = f"VAQ{args.d * 2}m{args.d // 2}min1max4var1,FAST"
         fast_cache = os.path.join(
@@ -231,28 +221,19 @@ def main():
             fidx = vaq_tpu.VAQIndex(
                 vaq_tpu.parse_method_string(fast_cfg_s)).build(base)
             fidx.save(fast_cache)
-        fqp = pca.project(qb_dev, fidx.eigvecs, fidx.total_dim)
-        fluts = jax.block_until_ready(
-            scan_jax.build_luts(fqp, jnp.asarray(fidx.centroids)))
-        fcodes = fidx.codes
-        br = max(256, min(512, fidx.n_rows // (64 * args.k)))
-        br = 1 << (br.bit_length() - 1)
 
-        def fast4_step(q):
-            eps = (jnp.sum(q) * 1e-30)
-            return scan_pallas.fast4_scan_topk(
-                fcodes, fluts + eps, args.k,
-                n_valid=jnp.int32(fidx.n_rows), block_rows=br)
+        def fast_step(q):
+            return fidx.search_device(q, args.k, backend="codes")
 
-        fast4_qps, fast4_ms = measure(fast4_step, max(2, args.iters // 4))
-        _, fl = fidx.search(queries, args.k, backend="fast4")
+        fast4_qps, fast4_ms = measure(fast_step, max(2, args.iters // 2))
+        _, fl = fidx.search(queries, args.k, backend="codes")
         fast4_rec = metrics.avg_recall(fl, gt, args.k)
-        log(f"fast4(pallas) QPS={fast4_qps:.1f} ({fast4_ms:.3f}ms/batch) "
-            f"recall@{args.k}={fast4_rec:.4f} [{fast_cfg_s}]")
-        # release the FAST index + LUT slabs before the IVF section builds
-        # its bucketed copy of the decoded DB
-        del fidx, fcodes, fluts, fqp, fast4_step, lut_step, codes_dev
-        del luts_dev
+        log(f"fast(codes tier, max4bit) QPS={fast4_qps:.1f} "
+            f"({fast4_ms:.3f}ms/batch) recall@{args.k}={fast4_rec:.4f} "
+            f"[{fast_cfg_s}]")
+        # release the FAST index before the IVF section builds its bucketed
+        # copy of the decoded DB
+        del fidx, fast_step, codes_step
 
     # IVF cluster-probe tier (VERDICT r1 #3): visit fraction(s) vs
     # exhaustive, one IVF build shared across the sweep.
@@ -374,7 +355,8 @@ def main():
         out["decoded8_qps"] = round(qps8, 1)
         out["hamming_qps"] = round(qps_h, 1)
     if lut_qps is not None:
-        out["lut_qps"] = round(lut_qps, 1)
+        out["codes_qps"] = round(lut_qps, 1)
+        out["codes_recall_at_k"] = round(codes_rec, 4)
         out["fast4_qps"] = round(fast4_qps, 1)
         out["fast4_recall_at_k"] = round(fast4_rec, 4)
     if ivf_results:

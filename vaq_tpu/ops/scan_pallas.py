@@ -1,13 +1,30 @@
-"""Pallas fast-scan kernels: fused one-hot × LUT matmul over 4-bit codes.
+"""Pallas codes-resident scan kernels — the TPU counterpart of the
+reference's FAST scan family (``searchFast``/``Fast2``/``Fast3``,
+VAQ.cpp:1778-2046): search directly over the packed codes so HBM holds
+M bytes/row instead of the decoded tiers' d·{1,2} bytes/row.
 
-The TPU counterpart of the reference's FAST shuffle scan
-(``searchFast``, VAQ.cpp:1778-1836): there, a 16-entry u8 LUT lives in an
-AVX2 register and ``_mm256_shuffle_epi8`` looks up 32 codes per instruction;
-here the 16-entry-per-subspace LUT lives in VMEM and the lookup is expressed
-as ``onehot(codes) @ lutᵀ`` so the MXU does it — the same ≤4-bit-per-subspace
-constraint applies (VAQ.cpp:1263-1266), because the one-hot matmul costs
-``C`` MACs per (row, subspace, query) and only C=16 keeps that near the
-compute floor.
+Two generations, both kept:
+
+**decode_scan_topk (r2, the default codes tier).** Decode-then-dot: each
+grid cell's rows are reconstructed from their codes *in VMEM* (sublane
+``tpu.dynamic_gather`` over 8-row sub-tables of a packed bf16-pair decode
+table, one pass per cell reused across all query tiles), then scored with
+one (rows × d)·(d × q_tile) MXU matmul per window using
+``Σ_s ‖q_s − c_{s,code}‖² = ‖q‖² − 2 q·x̂ + ‖x̂‖²``. MXU cost is d
+MACs/row/query — independent of C — vs the one-hot form's M·C, a 64×
+FLOP cut at the headline config (d=128, M=32, C=256). Winners get exact
+f32 distances from a second tiny Pallas pass (``decode_rescore``; XLA's
+scattered centroid gather costs more than the whole scan). Measured on
+v5e, 1M×128d, 1024-query batches: **6.6 ms ⇒ 156k QPS at C=256** (was
+153 ms one-hot / 698 ms XLA gather) and **5.0 ms ⇒ 207k QPS at C=16**,
+recall identical to the decoded bf16 tier at 1/8th the resident bytes.
+
+**fast4_* (r1, kept for reference-FAST parity).** One-hot × LUT matmul:
+the AVX2-shuffle analog where a 16-entry u8 LUT lives in an AVX2 register
+and ``_mm256_shuffle_epi8`` looks up 32 codes per instruction; here the
+LUT lives in VMEM and the lookup is ``onehot(codes) @ lutᵀ`` on the MXU —
+with the reference's ≤4-bit constraint (VAQ.cpp:1263-1266) and its
+u8-quantized winner-selection semantics (``backend="fast4"``).
 
 Two kernels, selected by LUT dtype:
 
@@ -253,6 +270,335 @@ def fast4_window_scan(
                                               jnp.float32)
     block_base = jnp.arange(nblocks, dtype=jnp.int32) * block_rows
     return scores, ids_local + block_base[None, :]
+
+
+def _decode_score_kernel(table_ref, rep_ref, codes_ref, q_ref,
+                         qn_ref, packed_ref, cl_ref, dec_ref):
+    """Decode-then-dot kernel: reconstruct this cell's rows from their codes
+    in VMEM (one ``tpu.dynamic_gather`` per H-row chunk), then score every
+    query against the reconstruction with ONE MXU matmul per window.
+
+    Grid is (cells, q_tiles) with q innermost; the decoded block is computed
+    once per cell (at q == 0) into persistent scratch and reused across all
+    query tiles. Identity used: the ADC LUT sum equals the exact distance to
+    the reconstruction, Σ_s ‖q_s − c_{s,code}‖² = ‖q − x̂‖² =
+    ‖q‖² − 2·q·x̂ + ‖x̂‖², so scoring is a (rows × d) · (d × qt) matmul —
+    d MACs per (row, query) instead of the one-hot form's M·C.
+    """
+    nb, m = codes_ref.shape
+    h, d = table_ref.shape
+    nsub = h // 8          # hierarchical 8-row sub-tables (see below)
+    qt = q_ref.shape[0]
+    wr = nb // W_PER_CELL
+    idx_bits = max(1, (wr - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+
+    @pl.when(pl.program_id(1) == 0)
+    def decode():
+        # Lane replication code[r, s] → cl[r, s·L+j] via the selection
+        # matmul (Mosaic has no minor-dim reshape on vectors); codes < 256
+        # are exact in bf16, one (NB, M)·(M, d) matmul for the whole cell.
+        cl_ref[:] = jax.lax.dot_general(
+            codes_ref[:].astype(jnp.int32).astype(jnp.bfloat16), rep_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+
+        # Mosaic's sublane dynamic_gather spans ONE vreg: 8 32-bit rows with
+        # i32 indices (bf16/int8 forms crash this libtpu's compiler). The
+        # table therefore packs centroid rows 2c/2c+1 as a bf16 pair in one
+        # i32 word (build_decode_table), so a C-row table is C/16 8-row
+        # sub-tables: gather each with the in-sub-table packed row
+        # ((code >> 1) & 7), select by sub-table id (code >> 4), then pick
+        # the 16-bit half by code parity — a bf16's f32 promotion is just
+        # its bit pattern shifted left 16.
+        def chunk_body(i, _):
+            sl = pl.dslice(i * 8, 8)
+            v = cl_ref[sl, :]
+            lo = (v >> 1) & 7
+            acc = jnp.take_along_axis(table_ref[0:8, :], lo, axis=0)
+            for t in range(1, nsub):
+                g = jnp.take_along_axis(table_ref[t * 8:(t + 1) * 8, :], lo,
+                                        axis=0)
+                acc = jnp.where((v >> 4) == t, g, acc)
+            bits = jnp.where(v & 1 == 0, acc << 16,
+                             acc & jnp.int32(-65536))
+            dec_ref[sl, :] = jax.lax.bitcast_convert_type(bits, jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, nb // 8, chunk_body, 0)
+
+    local = jax.lax.broadcasted_iota(jnp.int32, (wr, qt), 0)
+    for w in range(W_PER_CELL):
+        sl = pl.dslice(w * wr, wr)
+        dec_w = dec_ref[sl, :]
+        dot = jax.lax.dot_general(
+            dec_w.astype(jnp.bfloat16), q_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (wr, qt)
+        # ‖x̂‖² recomputed from the f32 decoded scratch — exact, and avoids
+        # a (cell_rows, 1) input block that lane-pads to 128 (2 MB of VMEM)
+        norms_w = jnp.sum(dec_w * dec_w, axis=1, keepdims=True)
+        dist = norms_w - 2.0 * dot + qn_ref[0:1, :]
+        a = jnp.maximum(dist, 0.0)                         # ≥ 0 ⇒ bitcast
+        ai = jax.lax.bitcast_convert_type(a, jnp.int32)    # order-preserving
+        packed_ref[w, :] = jnp.min((ai & ~idx_mask) | local, axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_rows", "q_tile", "interpret"))
+def decode_window_scan(
+    codes: jnp.ndarray,      # (n, M) ints < C, n % (8·block_rows) == 0
+    dec_table: jnp.ndarray,  # (Hpad, d) f32 decode table (see build below)
+    qp: jnp.ndarray,         # (nq, d) f32 projected queries
+    block_rows: int = 512,
+    q_tile: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-(query, window) best candidate via the decode-then-dot kernel.
+
+    The codes-resident capacity tier at near-decoded throughput: HBM holds
+    only the codes (M B/row); reconstruction happens in VMEM. The
+    MXU cost is nq·n·d MACs — C-independent, unlike the one-hot kernel
+    (``fast4_window_scan``) whose cost is nq·n·M·C; at the headline config
+    (d=128, M=32, C=256) that is a 64× FLOP reduction, turning the 8-bit
+    capacity scan from compute-bound to bandwidth/VPU-bound.
+
+    Returns (scores (nq, nblocks) f32, row_ids (nq, nblocks) i32 global).
+    """
+    n, m = codes.shape
+    nq, d = qp.shape
+    h = dec_table.shape[0]
+    assert h % 8 == 0, "decode table rows must be padded to a multiple of 8"
+    cell_rows = W_PER_CELL * block_rows
+    assert n % cell_rows == 0, "pad codes to a multiple of 8*block_rows"
+    nblocks = n // block_rows
+    ncells = n // cell_rows
+    wr = block_rows
+    idx_bits = max(1, (wr - 1).bit_length())
+    idx_mask = (1 << idx_bits) - 1
+    pad_q = (-nq) % q_tile
+    qp_p = jnp.pad(qp, ((0, pad_q), (0, 0)))
+    nq_p = qp_p.shape[0]
+    qn = jnp.sum(qp_p * qp_p, axis=1, keepdims=True).T    # (1, nq_p) f32
+    q_bf = qp_p.astype(jnp.bfloat16)
+    if codes.dtype not in (jnp.int8, jnp.uint8):
+        codes = codes.astype(jnp.uint8)
+    # rep[s, s·L+j] = 1 replicates subspace s's code across its L lanes
+    l = d // m
+    rep = (jax.lax.broadcasted_iota(jnp.int32, (m, d), 1) // l
+           == jax.lax.broadcasted_iota(jnp.int32, (m, d), 0)
+           ).astype(jnp.bfloat16)
+
+    grid = (ncells, nq_p // q_tile)
+    packed_t = pl.pallas_call(
+        _decode_score_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((h, d), lambda c, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda c, q: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cell_rows, m), lambda c, q: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((q_tile, d), lambda c, q: (q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, q_tile), lambda c, q: (0, q),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((W_PER_CELL, q_tile), lambda c, q: (c, q),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, nq_p), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((cell_rows, d), jnp.int32),    # lane-replicated codes
+            pltpu.VMEM((cell_rows, d), jnp.float32),  # decoded rows
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(dec_table, rep, codes, q_bf, qn)
+
+    packed = packed_t.T[:nq]                               # (nq, nblocks)
+    ids_local = (packed & idx_mask).astype(jnp.int32)
+    scores = jax.lax.bitcast_convert_type(packed & ~idx_mask, jnp.float32)
+    block_base = jnp.arange(nblocks, dtype=jnp.int32) * block_rows
+    return scores, ids_local + block_base[None, :]
+
+
+def build_decode_table(centroids):
+    """(M, C, L) f32 padded centroids → ((Hpad, M·L) i32 packed table,
+    (M, C) f32 per-centroid squared norms with sentinels zeroed).
+
+    Layout: logical row c holds ``centroids[s, c, j]`` at lane s·L+j so one
+    sublane gather with lane-replicated codes reconstructs a whole row; rows
+    2c′ and 2c′+1 are packed as a bf16 pair into one i32 word (row 2c′+1 in
+    the high half) because Mosaic's gather only compiles in the 32-bit form
+    and only spans 8 sublanes — packing halves the sub-table count. Packed
+    rows are padded to a multiple of 8. Sentinel (+huge) padding centroids
+    are zeroed — codes never address them.
+    """
+    import numpy as np
+    cents = np.asarray(centroids, dtype=np.float32)
+    m, c, l = cents.shape
+    cents = np.where(np.abs(cents) < 1e30, cents, 0.0)
+    cnorms = np.sum(cents * cents, axis=2)                 # (M, C)
+    rows = cents.transpose(1, 0, 2).reshape(c, m * l)      # (C, d) f32
+    if c % 2:
+        rows = np.pad(rows, ((0, 1), (0, 0)))
+    import ml_dtypes
+    b16 = rows.astype(ml_dtypes.bfloat16)                  # RTNE cast
+    u16 = b16.view(np.uint16).astype(np.uint32)
+    packed = (u16[1::2] << 16) | u16[0::2]                 # (⌈C/2⌉, d)
+    hp = (-packed.shape[0]) % 8
+    if hp:
+        packed = np.pad(packed, ((0, hp), (0, 0)))
+    return (jnp.asarray(packed.view(np.int32)),
+            jnp.asarray(cnorms))
+
+
+def _decode_dist_kernel(rows_ref, rep_ref, codes_ref, q_ref, out_ref,
+                        cl_ref):
+    """Candidate rescore kernel: reconstruct each candidate row from its
+    codes with f32 sublane gathers (8-row sub-tables — exact, no bf16
+    packing) and emit ‖q_i − x̂_i‖² per row (row i is paired with its own
+    query row in ``q_ref``). Used on the ~nq·k winners only, where XLA's
+    scattered centroid gather costs more than the whole window scan
+    (measured 4.5 ms vs 0.1 ms at nq=1024, k=20)."""
+    nb, m = codes_ref.shape
+    h, d = rows_ref.shape
+    nsub = h // 8
+    cl_ref[:] = jax.lax.dot_general(
+        codes_ref[:].astype(jnp.int32).astype(jnp.bfloat16), rep_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+    def chunk_body(i, _):
+        sl = pl.dslice(i * 8, 8)
+        v = cl_ref[sl, :]
+        lo = v & 7
+        acc = jnp.take_along_axis(rows_ref[0:8, :], lo, axis=0)
+        for t in range(1, nsub):
+            g = jnp.take_along_axis(rows_ref[t * 8:(t + 1) * 8, :], lo,
+                                    axis=0)
+            acc = jnp.where((v >> 3) == t, g, acc)
+        diff = acc - q_ref[sl, :]
+        d2 = jnp.sum(diff * diff, axis=1, keepdims=True)   # (8, 1)
+        out_ref[sl, :] = jnp.broadcast_to(d2, (8, 128))
+        return 0
+
+    jax.lax.fori_loop(0, nb // 8, chunk_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_rescore(cand_codes: jnp.ndarray,  # (R, M) ints < C
+                   rows_f32: jnp.ndarray,    # (Cpad8, d) f32 decode rows
+                   q_rep: jnp.ndarray,       # (R, d) f32, row i's query
+                   interpret: bool = False) -> jnp.ndarray:
+    """Exact per-row ADC distances for candidate (row, query) pairs."""
+    r, m = cand_codes.shape
+    d = q_rep.shape[1]
+    l = d // m
+    cr = 1024
+    pad = (-r) % cr
+    cand_p = jnp.pad(cand_codes.astype(jnp.uint8), ((0, pad), (0, 0)))
+    q_p = jnp.pad(q_rep, ((0, pad), (0, 0)))
+    rep = (jax.lax.broadcasted_iota(jnp.int32, (m, d), 1) // l
+           == jax.lax.broadcasted_iota(jnp.int32, (m, d), 0)
+           ).astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        _decode_dist_kernel,
+        grid=((r + pad) // cr,),
+        in_specs=[
+            pl.BlockSpec((rows_f32.shape[0], d), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, d), lambda c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cr, m), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cr, d), lambda c: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((cr, 128), lambda c: (c, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r + pad, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((cr, d), jnp.int32)],
+        interpret=interpret,
+    )(rows_f32, rep, cand_p, q_p)
+    return out[:r, 0]
+
+
+def build_decode_rows(centroids):
+    """(M, C, L) f32 padded centroids → (Cpad8, M·L) f32 decode-row table
+    for ``decode_rescore`` (sentinels zeroed, rows padded to 8)."""
+    import numpy as np
+    cents = np.asarray(centroids, dtype=np.float32)
+    m, c, l = cents.shape
+    cents = np.where(np.abs(cents) < 1e30, cents, 0.0)
+    rows = cents.transpose(1, 0, 2).reshape(c, m * l)
+    hp = (-c) % 8
+    if hp:
+        rows = np.pad(rows, ((0, hp), (0, 0)))
+    return jnp.asarray(rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_rows", "q_tile", "interpret"))
+def decode_scan_topk(
+    codes: jnp.ndarray,      # (n, M)
+    dec_table: jnp.ndarray,  # (Hpad, d) i32 from build_decode_table
+    rows_f32: jnp.ndarray,   # (Cpad8, d) f32 from build_decode_rows
+    qp: jnp.ndarray,         # (nq, d) f32 projected queries
+    k: int,
+    n_valid: Optional[jnp.ndarray] = None,
+    block_rows: int = 512,
+    q_tile: int = 256,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Codes-resident search via the decode-then-dot kernel: window scan →
+    top-k windows → exact f32 rescore of the k winners from the centroids.
+    Drop-in result contract of ``fast4_scan_topk`` (distances are exact ADC
+    f32 sums for the returned ids)."""
+    n, m = codes.shape
+    nq, d = qp.shape
+    l = d // m
+    pad = (-n) % (W_PER_CELL * block_rows)
+    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    scores, ids = decode_window_scan(codes_p, dec_table, qp,
+                                     block_rows=block_rows, q_tile=q_tile,
+                                     interpret=interpret)
+    if n_valid is None:
+        n_valid = jnp.int32(n)
+    invalid = ids >= n_valid
+    scores = jnp.where(invalid, jnp.inf, scores)
+
+    # 2k-window over-fetch + approx window selection: exact top_k over ~2000
+    # windows costs more than the whole Pallas scan (measured ~3.5 ms at
+    # nq=1024); approx_max_k's rare per-window misses are absorbed by the
+    # over-fetch and the exact rescore below.
+    kk = min(max(2 * k, k), scores.shape[1])
+    if interpret:
+        _, pos = jax.lax.top_k(-scores, kk)
+    else:
+        _, pos = jax.lax.approx_max_k(-scores, kk, recall_target=0.95)
+        pos = pos.astype(jnp.int32)
+    top_ids = jnp.take_along_axis(ids, pos, axis=1)        # (nq, kk)
+    top_ids = jnp.where(jnp.take_along_axis(invalid, pos, axis=1), -1,
+                        top_ids)
+    # exact rescore: reconstruct the kk winners in f32 and measure ‖q − x̂‖²
+    # (in a tiny Pallas pass — XLA's scattered centroid gather costs ~4.5 ms
+    # here, more than the whole window scan)
+    cand = codes_p[jnp.maximum(top_ids, 0)]                # (nq, kk, M)
+    q_rep = jnp.broadcast_to(qp[:, None, :], (nq, kk, d)).reshape(-1, d)
+    d2 = decode_rescore(cand.reshape(-1, m), rows_f32, q_rep,
+                        interpret=interpret).reshape(nq, kk)
+    d2 = jnp.where((top_ids >= 0) & (top_ids < n_valid), d2, jnp.inf)
+    if kk < k:
+        d2 = jnp.pad(d2, ((0, 0), (0, k - kk)), constant_values=jnp.inf)
+        top_ids = jnp.pad(top_ids, ((0, 0), (0, k - kk)),
+                          constant_values=-1)
+    neg2, pos2 = jax.lax.top_k(-d2, k)
+    out_ids = jnp.take_along_axis(top_ids, pos2, axis=1)
+    out_ids = jnp.where(jnp.isfinite(-neg2), out_ids, -1)
+    return -neg2, out_ids
 
 
 @functools.partial(

@@ -331,6 +331,18 @@ class VAQIndex:
         if self._mesh is not None and backend == "decoded":
             return self._search_device_sharded(queries_dev, k, exact,
                                                recall_target)
+        if backend == "codes":
+            # Codes-resident capacity tier: decode-then-dot Pallas kernel
+            # (HBM holds only the codes, M B/row; see ops/scan_pallas.py).
+            dec_table, dec_rows = self._codes_tier()
+            qp = pca.project(queries_dev, self._eigvecs_device(),
+                             self.total_dim)
+            br = max(256, min(512, self.n_rows // (64 * k)))
+            br = 1 << (br.bit_length() - 1)
+            return scan_pallas.decode_scan_topk(
+                self.codes, dec_table, dec_rows, qp, k,
+                n_valid=jnp.int32(self.n_rows), block_rows=br,
+                interpret=jax.default_backend() == "cpu")
         if backend == "decoded8":
             self._ensure_decoded8()
             qp = jnp.dot(queries_dev, self._eigvecs_device(),
@@ -343,6 +355,16 @@ class VAQIndex:
         return scan_decoded.decoded_search_e2e(
             queries_dev, self._eigvecs_device(), self.decoded,
             self.decoded_norms, k, exact=exact, recall_target=recall_target)
+
+    def _codes_tier(self):
+        """Lazily built (packed decode table, f32 decode rows) for the
+        codes-resident Pallas tier; depends only on the centroids, so CRUD
+        on codes never invalidates it."""
+        if getattr(self, "_dec_table", None) is None:
+            self._dec_table, _ = scan_pallas.build_decode_table(
+                self.centroids)
+            self._dec_rows = scan_pallas.build_decode_rows(self.centroids)
+        return self._dec_table, self._dec_rows
 
     # ------------------------------------------------------------------
     # LUT quantization (V16)
@@ -408,10 +430,12 @@ class VAQIndex:
         is the fast path; TI maps to the IVF cluster-probe when built.
 
         backend: "decoded" (bf16 reconstruction matmul on the MXU — fastest
-        while the decoded DB fits HBM), "decoded8" (int8 tier), "lut"
-        (codes + LUT scan — the capacity path, and the one carrying FAST
-        u8-LUT semantics; auto-selects the Pallas kernel when eligible),
-        "fast4" (force the Pallas one-hot×LUT kernel; interpret-mode on CPU),
+        while the decoded DB fits HBM), "decoded8" (int8 tier), "codes"
+        (decode-then-dot Pallas kernel over the raw codes — the capacity
+        tier, M B/row resident; default for codes-resident search when
+        max_bits ≤ 8), "lut" (codes + LUT scan; routes to "codes" when
+        eligible), "fast4" (force the one-hot×LUT kernel with the
+        reference's u8-quantized winner selection, VAQ.cpp:1778-1836),
         "lut_gather" (force the XLA gather scan), or "auto".
         """
         cfg = self.config
@@ -468,6 +492,29 @@ class VAQIndex:
                 d, i = self.search_device(jnp.asarray(qb), k, backend=backend)
             else:
                 qp = pca.project(qb, self.eigvecs, self.total_dim)
+                max_b = int(self.bits.max())
+                # The decode-then-dot kernel is the default codes-resident
+                # path (≤8-bit codes, enough windows per k): ~4-20× the
+                # one-hot/gather scans at equal-or-better recall, since its
+                # MXU cost is d MACs/row/query instead of M·C. The explicit
+                # "fast4" backend keeps the reference's quantized-LUT winner
+                # semantics available.
+                use_codes = backend == "codes" or (
+                    backend == "lut"
+                    and max_b <= 8
+                    and jax.default_backend() != "cpu"
+                    and self.n_rows >= 64 * k)
+                if use_codes:
+                    dec_table, dec_rows = self._codes_tier()
+                    br = max(256, min(512, self.n_rows // (64 * k)))
+                    br = 1 << (br.bit_length() - 1)
+                    d, i = scan_pallas.decode_scan_topk(
+                        self.codes, dec_table, dec_rows, qp, k,
+                        n_valid=jnp.int32(self.n_rows), block_rows=br,
+                        interpret=jax.default_backend() == "cpu")
+                    all_d[start:start + qb.shape[0]] = np.asarray(d)
+                    all_i[start:start + qb.shape[0]] = np.asarray(i)
+                    continue
                 luts = scan_jax.build_luts(qp, jnp.asarray(self.centroids))
                 lut8_kernel = None
                 if use_quant:
