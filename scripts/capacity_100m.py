@@ -7,7 +7,7 @@ standard build (train on samples → streamed encode), serves from the two
 capacity tiers that fit one v5e chip's 16 GB HBM at this scale:
 
   * decoded8 (int8 reconstruction, 96 B/row → 9.6 GB resident)
-  * codes + Pallas one-hot scan (32 B/row → 3.2 GB resident)
+  * codes + Pallas decode-then-dot scan (32 B/row → 3.2 GB resident)
 
 and reports build time, per-tier QPS (chained methodology), recall@10, and
 refined recall against streamed exact groundtruth. Emits one JSON line and
@@ -73,8 +73,7 @@ def main():
     import jax.numpy as jnp
 
     import vaq_tpu
-    from vaq_tpu import metrics, pca
-    from vaq_tpu.ops import scan_jax, scan_pallas
+    from vaq_tpu import metrics
     from vaq_tpu.ops.distances import exact_search_host_stream
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -160,15 +159,9 @@ def main():
     out["decoded8_qps"] = round(d8_qps, 1)
     out["decoded8_recall_at_k"] = round(rec8, 4)
 
-    # --- codes tier (Pallas one-hot scan) ---
-    ev = jnp.asarray(idx.eigvecs[:, : idx.total_dim])
-    cents = jnp.asarray(idx.centroids)
-
+    # --- codes tier (decode-then-dot Pallas kernel, 32 B/row resident) ---
     def lut_step(q):
-        qp = jnp.dot(q, ev, preferred_element_type=jnp.float32)
-        luts = scan_jax.build_luts(qp, cents)
-        return scan_pallas.fast4_scan_topk(
-            idx.codes, luts, args.k, n_valid=jnp.int32(idx.n_rows))
+        return idx.search_device(q, args.k, backend="codes")
 
     lut_qps, lut_ms = measure(lut_step, iters=4)
     dl, ll = lut_step(jnp.asarray(queries))

@@ -63,6 +63,27 @@ def test_recall_goldens_at_10(trained):
     assert metrics.avg_recall(np.asarray(r10), gt, 10) >= 0.99
 
 
+def test_codes_backend_small_n_parity(trained):
+    """backend='codes' must not lose recall when the database is small
+    (r2 regression: a 256-row block_rows floor left only n/256 windows —
+    with one candidate per window, recall was capped at windows/k). n below
+    512·k routes to the decoded fallback (the identical ADC quantity
+    ‖q − x̂‖²); mid-range n shrinks the window to the 8-row minimum."""
+    idx, _, queries, gt = trained
+    rec_dec = metrics.avg_recall(
+        np.asarray(idx.search(queries, 100)[1]), gt, 100)
+    rec_codes = metrics.avg_recall(
+        np.asarray(idx.search(queries, 100, backend="codes")[1]), gt, 100)
+    assert rec_codes >= rec_dec - 0.005, (rec_codes, rec_dec)
+    # k=4 ⇒ 8-row windows (500 windows = 125·k): the windowed Pallas path,
+    # within a point of decoded.
+    rec_dec4 = metrics.avg_recall(
+        np.asarray(idx.search(queries, 4)[1]), gt, 4)
+    rec_codes4 = metrics.avg_recall(
+        np.asarray(idx.search(queries, 4, backend="codes")[1]), gt, 4)
+    assert rec_codes4 >= rec_dec4 - 0.015, (rec_codes4, rec_dec4)
+
+
 def test_refine_improves_recall(trained):
     idx, base, queries, gt = trained
     k = 10

@@ -50,13 +50,15 @@ def decode_db(codes: jnp.ndarray, centroids: jnp.ndarray,
     """
     n, m = codes.shape
     _, c, l = centroids.shape
-    codes = codes.astype(jnp.int32)
     pad = (-n) % block_rows
     codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
     blocks = codes_p.reshape(-1, block_rows, m)
 
     def dec(blk):
         # per-subspace gather of (C, L) by (nb,) — one-time cost at build.
+        # (int32 widening happens per block: a whole-array cast would
+        # transiently cost 4 B/code — 12.8 GB at 100M rows × 32 subspaces.)
+        blk = blk.astype(jnp.int32)
         g = jax.vmap(lambda cent_s, code_s: cent_s[code_s],
                      in_axes=(0, 1))(centroids, blk)     # (M, nb, L)
         rows = jnp.transpose(g, (1, 0, 2)).reshape(block_rows, m * l)
@@ -91,12 +93,14 @@ def decode_db_int8(
     dim_max = jnp.max(finite, axis=1).reshape(m * l)      # (D,)
     dim_scales = 127.0 / jnp.maximum(dim_max, 1e-30)
 
-    codes = codes.astype(jnp.int32)
     pad = (-n) % block_rows
     codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
     blocks = codes_p.reshape(-1, block_rows, m)
 
     def dec(blk):
+        # per-block int32 widening (see decode_db) — keeps the transient
+        # device footprint O(block) instead of O(n) at 100M-row scale.
+        blk = blk.astype(jnp.int32)
         g = jax.vmap(lambda cent_s, code_s: cent_s[code_s],
                      in_axes=(0, 1))(centroids, blk)
         rows = jnp.transpose(g, (1, 0, 2)).reshape(block_rows, m * l)

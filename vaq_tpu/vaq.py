@@ -332,17 +332,22 @@ class VAQIndex:
             return self._search_device_sharded(queries_dev, k, exact,
                                                recall_target)
         if backend == "codes":
-            # Codes-resident capacity tier: decode-then-dot Pallas kernel
-            # (HBM holds only the codes, M B/row; see ops/scan_pallas.py).
-            dec_table, dec_rows = self._codes_tier()
-            qp = pca.project(queries_dev, self._eigvecs_device(),
-                             self.total_dim)
-            br = max(256, min(512, self.n_rows // (64 * k)))
-            br = 1 << (br.bit_length() - 1)
-            return scan_pallas.decode_scan_topk(
-                self.codes, dec_table, dec_rows, qp, k,
-                n_valid=jnp.int32(self.n_rows), block_rows=br,
-                interpret=jax.default_backend() == "cpu")
+            br = self._codes_block_rows(k)
+            if br is None:
+                # Too few windows for k even at the 8-row minimum: the
+                # decoded bf16 scan computes the identical ADC quantity
+                # (‖q − x̂‖²) and the decoded db is tiny at such n.
+                backend = "decoded"
+            else:
+                # Codes-resident capacity tier: decode-then-dot Pallas kernel
+                # (HBM holds only the codes, M B/row; see ops/scan_pallas.py).
+                dec_table, dec_rows = self._codes_tier()
+                qp = pca.project(queries_dev, self._eigvecs_device(),
+                                 self.total_dim)
+                return scan_pallas.decode_scan_topk(
+                    self.codes, dec_table, dec_rows, qp, k,
+                    n_valid=jnp.int32(self.n_rows), block_rows=br,
+                    interpret=jax.default_backend() == "cpu")
         if backend == "decoded8":
             self._ensure_decoded8()
             qp = jnp.dot(queries_dev, self._eigvecs_device(),
@@ -355,6 +360,27 @@ class VAQIndex:
         return scan_decoded.decoded_search_e2e(
             queries_dev, self._eigvecs_device(), self.decoded,
             self.decoded_norms, k, exact=exact, recall_target=recall_target)
+
+    def _codes_block_rows(self, k: int) -> Optional[int]:
+        """Window size for the decode-then-dot codes tier.
+
+        The window scan keeps ONE candidate per (query, window), so recall
+        needs windows ≫ k: with ≥ 64 windows per requested neighbor the
+        expected window-collision loss is ≤ k/128 rows (< 1% of k). Aim for
+        that, floor at the kernel's 8-sublane minimum, cap at 512 (past
+        which the output block and approx-top-k over windows dominate).
+
+        Returns None when even 8-row windows cannot provide 64·k windows —
+        the caller should serve from the decoded scan instead (identical ADC
+        quantity, and at n < 512·k rows the decoded db is tiny) — unless the
+        decoded db would exceed ~1 GB, where the degraded-recall windowed
+        scan still beats the memory blow-up."""
+        br = self.n_rows // (64 * k)
+        if br < 8:
+            if self.n_rows * self.total_dim * 2 > (1 << 30):
+                return 8
+            return None
+        return 1 << (min(br, 512).bit_length() - 1)
 
     def _codes_tier(self):
         """Lazily built (packed decode table, f32 decode rows) for the
@@ -499,15 +525,22 @@ class VAQIndex:
                 # MXU cost is d MACs/row/query instead of M·C. The explicit
                 # "fast4" backend keeps the reference's quantized-LUT winner
                 # semantics available.
-                use_codes = backend == "codes" or (
-                    backend == "lut"
-                    and max_b <= 8
-                    and jax.default_backend() != "cpu"
-                    and self.n_rows >= 64 * k)
+                br = self._codes_block_rows(k)
+                use_codes = br is not None and (
+                    backend == "codes" or (
+                        backend == "lut"
+                        and max_b <= 8
+                        and jax.default_backend() != "cpu"))
+                if backend == "codes" and br is None:
+                    # decoded fallback: same ADC quantity, enough windows
+                    # cannot be formed at this n (see _codes_block_rows)
+                    d, i = self.search_device(jnp.asarray(qb), k,
+                                              backend="decoded")
+                    all_d[start:start + qb.shape[0]] = np.asarray(d)
+                    all_i[start:start + qb.shape[0]] = np.asarray(i)
+                    continue
                 if use_codes:
                     dec_table, dec_rows = self._codes_tier()
-                    br = max(256, min(512, self.n_rows // (64 * k)))
-                    br = 1 << (br.bit_length() - 1)
                     d, i = scan_pallas.decode_scan_topk(
                         self.codes, dec_table, dec_rows, qp, k,
                         n_valid=jnp.int32(self.n_rows), block_rows=br,
