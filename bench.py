@@ -340,7 +340,8 @@ def main():
             vs_baseline = qps / ref_qps
 
     out = {
-        "metric": "ADC search QPS/chip (1M x 128d, 256-bit VAQ)",
+        "metric": (f"ADC search QPS/chip ({args.n / 1e6:g}M x {args.d}d, "
+                   f"{cfg.bit_budget}-bit VAQ)"),
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(vs_baseline, 3),

@@ -65,7 +65,11 @@ def main():
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--chunk", type=int, default=4_000_000)
-    p.add_argument("--config", default="VAQ256m32min5max12var1,HEAP")
+    # max8 (not the reference's max12/13) so the codes tier stays u8/32 B-row
+    # resident — the whole point of this experiment; 256b/m32 then allocates
+    # uniformly (8 bits each), i.e. the classic PQ32x8 DEEP-100M operating
+    # point.
+    p.add_argument("--config", default="VAQ256m32min5max8var1,HEAP")
     p.add_argument("--workdir", default="/root/capacity100m")
     args = p.parse_args()
 

@@ -54,6 +54,24 @@ def test_fast_config_bits_gate():
         vaq_tpu.parse_method_string("VAQ256m32min7max8var1,FAST")
 
 
+def test_codes_backend_rejects_wide_bits():
+    # The decode-then-dot codes tier packs 2^bits rows per subspace and u8
+    # codes; explicit backend="codes" on a >8-bit index must raise (both the
+    # host search() and device search_device() dispatchers), not truncate.
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((4096, 32)) *
+         np.linspace(3, 0.1, 32)).astype(np.float32)
+    idx = vaq_tpu.VAQIndex(
+        vaq_tpu.parse_method_string("VAQ40m4min5max12var1,HEAP")
+    ).train(x).encode(x)
+    assert int(idx.bits.max()) > 8
+    with pytest.raises(ConfigError):
+        idx.search(x[:4], 5, backend="codes")
+    with pytest.raises(ConfigError):
+        idx.search_device(jnp.asarray(x[:4]), 5, backend="codes")
+
+
 def test_infeasible_bit_budget():
     from vaq_tpu.bitalloc import allocate_bits
     with pytest.raises(ConfigError):

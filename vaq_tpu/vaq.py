@@ -332,6 +332,7 @@ class VAQIndex:
             return self._search_device_sharded(queries_dev, k, exact,
                                                recall_target)
         if backend == "codes":
+            self._require_codes_bits()
             br = self._codes_block_rows(k)
             if br is None:
                 # Too few windows for k even at the 8-row minimum: the
@@ -360,6 +361,21 @@ class VAQIndex:
         return scan_decoded.decoded_search_e2e(
             queries_dev, self._eigvecs_device(), self.decoded,
             self.decoded_norms, k, exact=exact, recall_target=recall_target)
+
+    def _require_codes_bits(self) -> None:
+        """The decode-then-dot Pallas tier packs 2^bits centroid rows per
+        subspace and stores codes as u8, so it only serves <= 8-bit
+        subspaces; explicit backend="codes" on a wider index must fail loudly
+        rather than truncate codes."""
+        if int(self.bits.max()) > 8:
+            raise ConfigError(
+                "backend='codes' (decode-then-dot Pallas tier) supports "
+                "<= 8-bit subspaces (the decode table packs 2^bits "
+                "centroid rows; codes must fit u8). This index allocates "
+                f"up to {int(self.bits.max())} bits — use "
+                "backend='decoded8' (128 B/row) or cap the config at "
+                "max8 (the reference's own FAST family caps at 4, "
+                "VAQ.cpp:1263-1266).")
 
     def _codes_block_rows(self, k: int) -> Optional[int]:
         """Window size for the decode-then-dot codes tier.
@@ -525,6 +541,8 @@ class VAQIndex:
                 # MXU cost is d MACs/row/query instead of M·C. The explicit
                 # "fast4" backend keeps the reference's quantized-LUT winner
                 # semantics available.
+                if backend == "codes":
+                    self._require_codes_bits()
                 br = self._codes_block_rows(k)
                 use_codes = br is not None and (
                     backend == "codes" or (
