@@ -84,8 +84,9 @@ def main():
     else:
         base, queries = make_anisotropic_gaussian(
             args.n, args.d, args.queries, seed=42)
-        if args.n >= 5_000_000:  # cache only when regen is expensive
-            np.savez(data_cache, base=base, queries=queries)
+        # cache every size: this host generates ~1M rows/3min (O(10 MB/s)
+        # memory), so even the default 1M regen dominates a bench run
+        np.savez(data_cache, base=base, queries=queries)
         log(f"data gen: {time.perf_counter() - t0:.1f}s")
 
     cfg = vaq_tpu.parse_method_string(args.config)

@@ -2,26 +2,36 @@
 """100M-row capacity experiment (VERDICT r1 #5; reference Fig. 11 configs,
 ExperimentsParameters.txt:114-124: DEEP-100M, 256 bits, 32 segments).
 
-Streams a DEEP-like synthetic dataset (default 100M × 96d) through the
-standard build (train on samples → streamed encode), serves from the two
-capacity tiers that fit one v5e chip's 16 GB HBM at this scale:
+Runs a DEEP-like synthetic dataset (default 100M × 96d) through the standard
+build (train on samples → streamed encode), serves from the two capacity
+tiers that fit one v5e chip's 16 GB HBM at this scale:
 
-  * decoded8 (int8 reconstruction, 96 B/row → 9.6 GB resident)
   * codes + Pallas decode-then-dot scan (32 B/row → 3.2 GB resident)
+  * decoded8 (int8 reconstruction, 96 B/row → 9.6 GB resident)
 
 and reports build time, per-tier QPS (chained methodology), recall@10, and
 refined recall against streamed exact groundtruth. Emits one JSON line and
 writes CAPACITY_100M.json at the repo root.
 
+Data source (--source):
+  * device (default): chunks generated on-device (data.DeviceChunkSource);
+    chunk i is a pure function of (seed, i), so encode / groundtruth /
+    refine each stream regenerated chunks with O(chunk) transients and the
+    38 GB raw dataset never exists anywhere. This host moves memory at
+    O(10 MB/s), so the disk path below is hours of pure datagen/IO at 100M.
+  * disk: the original memmap path (gen_memmap + streamed reads), kept for
+    hosts with real IO and as the reference-format interop path.
+
 HBM budget at n=100M, d=96, 256-bit codes (documented for BASELINE.md):
   codes u8 (n × 32)                    3.2 GB
   decoded8 int8 (n × 96) + norms f32   9.6 + 0.4 GB
-  query workspace (1024-batch scores)  ~0.8 GB peak
-  → decoded8 + codes tiers co-resident ≈ 14 GB; the bf16 decoded tier
-    (19.2 GB) does NOT fit and is skipped.
+  query workspace (128-batch scores)   ~0.5 GB peak
+  → decoded8 + codes tiers co-resident ≈ 13.2 GB; the bf16 decoded tier
+    (19.2 GB) does NOT fit and is skipped. decode_db_int8 runs with a
+    block_rows that divides n so no padded-copy transient appears.
 
 Usage: python scripts/capacity_100m.py [--n 100000000] [--d 96]
-       [--queries 128] [--chunk 4000000]
+       [--queries 128] [--chunk 2000000] [--source device|disk]
 """
 import argparse
 import json
@@ -57,6 +67,15 @@ def gen_memmap(path, n, d, seed=42, chunk=4_000_000):
     return queries
 
 
+def divisor_block(n: int, target: int = 65536) -> int:
+    """Largest block_rows ≤ target that divides n (avoids the padded-copy
+    transient in decode_db_int8 — 9.6 GB at 100M would tip HBM over)."""
+    for b in range(min(target, n), 0, -1):
+        if n % b == 0:
+            return b
+    return n
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100_000_000)
@@ -64,63 +83,94 @@ def main():
     p.add_argument("--queries", type=int, default=128)
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--batch", type=int, default=128)
-    p.add_argument("--chunk", type=int, default=4_000_000)
+    p.add_argument("--chunk", type=int, default=2_000_000)
+    p.add_argument("--source", choices=["device", "disk"], default="device")
     # max8 (not the reference's max12/13) so the codes tier stays u8/32 B-row
     # resident — the whole point of this experiment; 256b/m32 then allocates
     # uniformly (8 bits each), i.e. the classic PQ32x8 DEEP-100M operating
     # point.
     p.add_argument("--config", default="VAQ256m32min5max8var1,HEAP")
     p.add_argument("--workdir", default="/root/capacity100m")
+    p.add_argument("--train-sample", type=int, default=262_144)
+    p.add_argument("--save-index", action="store_true",
+                   help="persist the index npz (multi-GB fetch at 100M)")
     args = p.parse_args()
+
+    from vaq_tpu.cli import apply_platform_env
+    apply_platform_env()
 
     import jax
     import jax.numpy as jnp
 
     import vaq_tpu
     from vaq_tpu import metrics
-    from vaq_tpu.ops.distances import exact_search_host_stream
+    from vaq_tpu.data import DeviceChunkSource
+    from vaq_tpu.ops.distances import (exact_rescore_chunked,
+                                       exact_search_chunked)
 
     os.makedirs(args.workdir, exist_ok=True)
-    data_path = os.path.join(args.workdir, f"base_{args.n}x{args.d}.f32")
-    q_path = os.path.join(args.workdir, "queries.npy")
-    if os.path.exists(data_path) and os.path.exists(q_path):
-        queries = np.load(q_path)
-        log("dataset cached")
-    else:
-        t0 = time.perf_counter()
-        queries = gen_memmap(data_path, args.n, args.d, chunk=args.chunk)
-        queries = queries[: args.queries]
-        np.save(q_path, queries)
-        log(f"datagen: {time.perf_counter() - t0:.0f}s")
-    queries = queries[: args.queries]
-    base = np.memmap(data_path, dtype=np.float32, mode="r",
-                     shape=(args.n, args.d))
-
     cfg = vaq_tpu.parse_method_string(args.config)
-    idx_path = os.path.join(args.workdir, "index.npz")
+
+    # ------------------------------------------------------------------
+    # Data source: chunk_fn(i) -> (rows_i, d) f32
+    # ------------------------------------------------------------------
+    t_src = time.perf_counter()
+    if args.source == "device":
+        src = DeviceChunkSource(args.n, args.d, args.chunk)
+        chunk_fn = src.chunk
+        queries = src.queries(args.queries)
+        train_sample = src.host_sample(args.train_sample)
+        log(f"device source ready: {time.perf_counter() - t_src:.0f}s "
+            f"({src.n_chunks} chunks, sample {train_sample.shape})")
+    else:
+        data_path = os.path.join(args.workdir,
+                                 f"base_{args.n}x{args.d}.f32")
+        q_path = os.path.join(args.workdir, "queries.npy")
+        if os.path.exists(data_path) and os.path.exists(q_path):
+            queries = np.load(q_path)[: args.queries]
+            log("dataset cached")
+        else:
+            queries = gen_memmap(data_path, args.n, args.d,
+                                 chunk=args.chunk)[: args.queries]
+            np.save(q_path, queries)
+            log(f"datagen: {time.perf_counter() - t_src:.0f}s")
+        base = np.memmap(data_path, dtype=np.float32, mode="r",
+                         shape=(args.n, args.d))
+
+        def chunk_fn(i):
+            return np.asarray(base[i * args.chunk:(i + 1) * args.chunk])
+
+        step = max(1, args.n // args.train_sample)
+        train_sample = np.asarray(base[::step][: args.train_sample])
+
+    # ------------------------------------------------------------------
+    # Build: train on the sample, stream-encode all chunks
+    # ------------------------------------------------------------------
+    idx_path = os.path.join(args.workdir, f"index_{args.n}.npz")
     if os.path.exists(idx_path):
         idx = vaq_tpu.VAQIndex.load(idx_path)
         log("index cached")
         build_s = None
     else:
         t0 = time.perf_counter()
-        # train on a streamed sample (train_rotation samples 1000·d rows;
-        # codebooks sample ≤ 256·2^bits rows per subspace)
-        sample = np.asarray(base[:: max(1, args.n // 4_000_000)][:4_000_000])
-        idx = vaq_tpu.VAQIndex(cfg).train(sample, verbose=True)
-        idx.encode(base, verbose=True, chunk_rows=args.chunk)
+        idx = vaq_tpu.VAQIndex(cfg).train(train_sample, verbose=True)
+        idx.encode_chunks(chunk_fn, args.n, args.chunk, verbose=True)
         build_s = time.perf_counter() - t0
         log(f"build: {build_s:.0f}s")
-        idx.save(idx_path)
+        if args.save_index:
+            idx.save(idx_path)
 
-    # groundtruth (streamed exact scan; cached)
-    gt_path = os.path.join(args.workdir, f"gt_{args.queries}.npy")
+    # ------------------------------------------------------------------
+    # Groundtruth (streamed exact scan; cached — tiny file)
+    # ------------------------------------------------------------------
+    gt_path = os.path.join(args.workdir,
+                           f"gt_{args.n}_{args.queries}_{args.source}.npy")
     if os.path.exists(gt_path):
         gt = np.load(gt_path)
     else:
         t0 = time.perf_counter()
-        _, gt = exact_search_host_stream(queries, base, 100,
-                                         chunk_rows=args.chunk)
+        _, gt = exact_search_chunked(queries, chunk_fn, args.n, args.chunk,
+                                     100)
         np.save(gt_path, gt)
         log(f"groundtruth: {time.perf_counter() - t0:.0f}s")
 
@@ -145,25 +195,13 @@ def main():
         return args.batch / (ms / 1000.0), ms
 
     out = {"metric": f"capacity tiers at {args.n} x {args.d}d",
-           "n": args.n, "d": args.d, "config": args.config, "unit": "qps"}
+           "n": args.n, "d": args.d, "config": args.config,
+           "source": args.source, "unit": "qps"}
     if build_s is not None:
         out["build_s"] = round(build_s, 1)
 
-    # --- decoded8 tier ---
-    t0 = time.perf_counter()
-    idx._ensure_decoded8()
-    log(f"decoded8 materialize: {time.perf_counter() - t0:.0f}s")
-    d8_qps, d8_ms = measure(
-        lambda q: idx.search_device(q, args.k, backend="decoded8"))
-    _, l8 = idx.search_device(jnp.asarray(queries), args.k,
-                              backend="decoded8")
-    rec8 = metrics.avg_recall(np.asarray(l8), gt, args.k)
-    log(f"decoded8: {d8_qps:.0f} QPS ({d8_ms:.1f}ms/batch) "
-        f"recall@{args.k}={rec8:.4f}")
-    out["decoded8_qps"] = round(d8_qps, 1)
-    out["decoded8_recall_at_k"] = round(rec8, 4)
-
-    # --- codes tier (decode-then-dot Pallas kernel, 32 B/row resident) ---
+    # --- codes tier first (decode-then-dot Pallas kernel, 32 B/row; benched
+    # before decoded8 exists so its workspace has headroom) ---
     def lut_step(q):
         return idx.search_device(q, args.k, backend="codes")
 
@@ -175,10 +213,25 @@ def main():
     out["lut_qps"] = round(lut_qps, 1)
     out["lut_recall_at_k"] = round(recl, 4)
 
-    # --- refined recall (decoded8 candidates -> exact rerank 100 -> 10) ---
+    # --- decoded8 tier (96 B/row int8 matmul scan) ---
+    t0 = time.perf_counter()
+    idx._ensure_decoded8(block_rows=divisor_block(args.n))
+    log(f"decoded8 materialize: {time.perf_counter() - t0:.0f}s")
+    d8_qps, d8_ms = measure(
+        lambda q: idx.search_device(q, args.k, backend="decoded8"))
+    _, l8 = idx.search_device(jnp.asarray(queries), args.k,
+                              backend="decoded8")
+    rec8 = metrics.avg_recall(np.asarray(l8), gt, args.k)
+    log(f"decoded8: {d8_qps:.0f} QPS ({d8_ms:.1f}ms/batch) "
+        f"recall@{args.k}={rec8:.4f}")
+    out["decoded8_qps"] = round(d8_qps, 1)
+    out["decoded8_recall_at_k"] = round(rec8, 4)
+
+    # --- refined recall (decoded8 candidates -> exact rerank 100 -> k) ---
     _, cand = idx.search_device(jnp.asarray(queries), 100, backend="decoded8")
-    _, refined = idx.refine(queries, np.asarray(cand), base, args.k)
-    rec_ref = metrics.avg_recall(np.asarray(refined), gt, args.k)
+    _, refined = exact_rescore_chunked(queries, np.asarray(cand), chunk_fn,
+                                       args.n, args.chunk, args.k)
+    rec_ref = metrics.avg_recall(refined, gt, args.k)
     out["refined_recall_at_k"] = round(rec_ref, 4)
     log(f"refined@{args.k}: {rec_ref:.4f}")
 

@@ -159,6 +159,33 @@ def manhattan_topk(queries: jnp.ndarray, db: jnp.ndarray, k: int,
     return best_d, best_i
 
 
+def exact_search_chunked(queries, chunk_fn, n: int, chunk_rows: int, k: int):
+    """Exact top-k over an arbitrary chunk source (streamed merge).
+
+    ``chunk_fn(i)`` returns chunk ``i`` as (rows_i, d) f32, device or host —
+    a memmap slice, a ``data.DeviceChunkSource`` chunk, etc. Per-chunk top-k
+    on device, tiny (nq, k) merge on host: the reference's disk-resident
+    pattern (``BitVecEngine.cpp:1441-1624``, merge 1599-1611) with the chunk
+    read generalized. Device memory stays O(chunk).
+    """
+    queries_d = jnp.asarray(np.asarray(queries, np.float32))
+    nq = queries_d.shape[0]
+    best_d = np.full((nq, k), np.inf, dtype=np.float32)
+    best_i = np.full((nq, k), -1, dtype=np.int32)
+    for i, start in enumerate(range(0, n, chunk_rows)):
+        chunk = jnp.asarray(chunk_fn(i))
+        kk = min(k, chunk.shape[0])
+        d, lab = exact_search(queries_d, chunk, kk)
+        d = np.asarray(d)
+        lab = (np.asarray(lab) + start).astype(np.int32)
+        cd = np.concatenate([best_d, d], axis=1)
+        ci = np.concatenate([best_i, lab], axis=1)
+        order = np.argsort(cd, axis=1, kind="stable")[:, :k]
+        best_d = np.take_along_axis(cd, order, axis=1)
+        best_i = np.take_along_axis(ci, order, axis=1)
+    return best_d, best_i
+
+
 def exact_search_host_stream(queries, base_np: np.ndarray, k: int,
                              chunk_rows: int = 4_000_000):
     """Exact top-k streaming host chunks to the device.
@@ -167,21 +194,43 @@ def exact_search_host_stream(queries, base_np: np.ndarray, k: int,
     (exact_search's pad+reshape also transiently duplicates the array on
     device). Device memory stays O(chunk).
     """
+
+    def chunk_fn(i):
+        return np.asarray(base_np[i * chunk_rows:(i + 1) * chunk_rows],
+                          np.float32)
+
+    return exact_search_chunked(queries, chunk_fn, base_np.shape[0],
+                                chunk_rows, k)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _rescore_chunk(queries, rows, cand, start, prev):
+    """Exact sq-dists for the candidates that fall inside [start, start+rows):
+    gather their rows, compute ‖q − x‖² against each candidate's own query,
+    keep previous values elsewhere."""
+    nq, r = cand.shape
+    local = cand - start
+    valid = (local >= 0) & (local < rows.shape[0])
+    safe = jnp.clip(local, 0, rows.shape[0] - 1).reshape(-1)
+    g = rows[safe].reshape(nq, r, -1)
+    d2 = jnp.sum((queries[:, None, :] - g) ** 2, axis=2)
+    return jnp.where(valid, d2, prev)
+
+
+def exact_rescore_chunked(queries, cand: np.ndarray, chunk_fn, n: int,
+                          chunk_rows: int, k: int):
+    """Exact rerank of candidate ids against a chunked source (V17 analog
+    for databases with no host-resident original vectors: regenerate/re-read
+    each chunk, gather the candidates that live in it, rescore).
+
+    Returns (sq_dists (nq, k), labels (nq, k)) sorted ascending.
+    """
     queries_d = jnp.asarray(np.asarray(queries, np.float32))
-    nq = queries_d.shape[0]
-    n = base_np.shape[0]
-    best_d = np.full((nq, k), np.inf, dtype=np.float32)
-    best_i = np.full((nq, k), -1, dtype=np.int32)
-    for start in range(0, n, chunk_rows):
-        chunk = jnp.asarray(np.asarray(base_np[start:start + chunk_rows],
-                                       np.float32))
-        kk = min(k, chunk.shape[0])
-        d, i = exact_search(queries_d, chunk, kk)
-        d = np.asarray(d)
-        i = (np.asarray(i) + start).astype(np.int32)
-        cd = np.concatenate([best_d, d], axis=1)
-        ci = np.concatenate([best_i, i], axis=1)
-        order = np.argsort(cd, axis=1, kind="stable")[:, :k]
-        best_d = np.take_along_axis(cd, order, axis=1)
-        best_i = np.take_along_axis(ci, order, axis=1)
-    return best_d, best_i
+    cand_d = jnp.asarray(np.asarray(cand, np.int32))
+    d2 = jnp.full(cand_d.shape, jnp.inf, dtype=jnp.float32)
+    for i, start in enumerate(range(0, n, chunk_rows)):
+        d2 = _rescore_chunk(queries_d, jnp.asarray(chunk_fn(i)), cand_d,
+                            start, d2)
+    order = jnp.argsort(d2, axis=1)[:, :k]
+    return (np.asarray(jnp.take_along_axis(d2, order, axis=1)),
+            np.asarray(jnp.take_along_axis(cand_d, order, axis=1)))

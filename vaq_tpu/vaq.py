@@ -265,30 +265,53 @@ class VAQIndex:
     # ------------------------------------------------------------------
     def encode(self, x: np.ndarray, verbose: bool = False,
                chunk_rows: int = 2_000_000) -> "VAQIndex":
+        x = io.pad_dims(np.asarray(x, dtype=np.float32), self.config.subspace_num)
+        n = x.shape[0]
+
+        def chunk_fn(i):
+            return jnp.asarray(x[i * chunk_rows:(i + 1) * chunk_rows])
+
+        return self.encode_chunks(chunk_fn, n, chunk_rows, verbose=verbose)
+
+    def encode_chunks(self, chunk_fn, n: int, chunk_rows: int = 2_000_000,
+                      verbose: bool = False) -> "VAQIndex":
+        """Encode from an arbitrary device-chunk source.
+
+        ``chunk_fn(i)`` returns chunk ``i`` as a (rows_i, d) f32 device (or
+        host) array — a memmap slice, a ``data.DeviceChunkSource`` chunk, etc.
+        Codes are written into one pre-allocated narrow buffer with donated
+        in-place updates, so device memory stays O(chunk) + O(codes) even at
+        100M rows (the reference's streaming analog: disk-resident batch
+        scan, BitVecEngine.cpp:1441-1624)."""
         if self.centroids is None:
             raise NotReadyError("encode() requires train() first")
-        x = io.pad_dims(np.asarray(x, dtype=np.float32), self.config.subspace_num)
         t0 = time.perf_counter()
-        n = x.shape[0]
         cent_dev = jnp.asarray(self.centroids)
         ev_dev = jnp.asarray(self.eigvecs[:, : self.total_dim])
-        chunks = []
-        for start in range(0, n, chunk_rows):
-            rows = jnp.asarray(x[start:start + chunk_rows])
-            xp = jnp.dot(rows, ev_dev, preferred_element_type=jnp.float32)
-            chunks.append(_encode_blocked(xp, cent_dev))
-        codes = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+        max_bits = int(self.bits.max())
         # Narrow dtype: u8 when every subspace fits (saves HBM + bandwidth).
-        if int(self.bits.max()) <= 8:
-            codes = codes.astype(jnp.uint8)
-        elif int(self.bits.max()) <= 16:
-            codes = codes.astype(jnp.uint16)
-        self.codes = jax.block_until_ready(codes)
-        self.n_rows = x.shape[0]
+        dtype = (jnp.uint8 if max_bits <= 8
+                 else jnp.uint16 if max_bits <= 16 else jnp.int32)
+        buf = jnp.zeros((n, self.highest_subs), dtype=dtype)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def write(b, c, start):
+            return jax.lax.dynamic_update_slice(b, c, (start, 0))
+
+        d_in = ev_dev.shape[0]
+        for i, start in enumerate(range(0, n, chunk_rows)):
+            rows = chunk_fn(i)
+            if rows.shape[1] < d_in:  # same zero-pad as io.pad_dims, on device
+                rows = jnp.pad(rows, ((0, 0), (0, d_in - rows.shape[1])))
+            xp = jnp.dot(rows, ev_dev, preferred_element_type=jnp.float32)
+            buf = write(buf, _encode_blocked(xp, cent_dev).astype(dtype),
+                        start)
+        self.codes = jax.block_until_ready(buf)
+        self.n_rows = n
         self.decoded = None
         self.decoded_norms = None
         if verbose:
-            print(f"== encode {x.shape[0]} rows: {time.perf_counter() - t0:.3f}s")
+            print(f"== encode {n} rows: {time.perf_counter() - t0:.3f}s")
         return self
 
     def _tombstone_norms(self, norms: jnp.ndarray) -> jnp.ndarray:
@@ -306,10 +329,13 @@ class VAQIndex:
             self.decoded = jax.block_until_ready(dec)
             self.decoded_norms = self._tombstone_norms(norms)
 
-    def _ensure_decoded8(self) -> None:
+    def _ensure_decoded8(self, block_rows: int = 65536) -> None:
+        # At 100M rows pick a block_rows dividing n: decode_db_int8's
+        # unpad slice otherwise copies the whole int8 DB (9.6 GB extra).
         if self.decoded8 is None:
             d8, scales, norms = scan_decoded.decode_db_int8(
-                self.codes, jnp.asarray(self.centroids))
+                self.codes, jnp.asarray(self.centroids),
+                block_rows=block_rows)
             self.decoded8 = jax.block_until_ready(d8)
             self.decoded8_scales = scales
             self.decoded8_norms = self._tombstone_norms(norms)
