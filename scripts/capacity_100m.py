@@ -22,9 +22,13 @@ Data source (--source):
   * disk: the original memmap path (gen_memmap + streamed reads), kept for
     hosts with real IO and as the reference-format interop path.
 
-HBM budget at n=100M, d=96, 256-bit codes (documented for BASELINE.md):
-  codes u8 (n × 32)                    3.2 GB
-  decoded8 int8 (n × 96) + norms f32   9.6 + 0.4 GB
+HBM budget at n=100M, d=96, 256-bit codes (documented for BASELINE.md).
+Both database arrays are stored TRANSPOSED so the TPU (32, 128) 8-bit tile
+packs them exactly — row-major storage lane-pads (n, 32) u8 codes 4× (to
+11.9 GB) and (n, 96) int8 1.33× (to 12.8 GB), which is what OOMed the first
+100M attempt:
+  codes u8 (32 × n)                    3.2 GB
+  decoded8 int8 (96 × n) + norms f32   9.6 + 0.4 GB
   query workspace (128-batch scores)   ~0.5 GB peak
   → decoded8 + codes tiers co-resident ≈ 13.2 GB; the bf16 decoded tier
     (19.2 GB) does NOT fit and is skipped. decode_db_int8 runs with a
@@ -227,13 +231,20 @@ def main():
     out["decoded8_qps"] = round(d8_qps, 1)
     out["decoded8_recall_at_k"] = round(rec8, 4)
 
-    # --- refined recall (decoded8 candidates -> exact rerank 100 -> k) ---
-    _, cand = idx.search_device(jnp.asarray(queries), 100, backend="decoded8")
-    _, refined = exact_rescore_chunked(queries, np.asarray(cand), chunk_fn,
-                                       args.n, args.chunk, args.k)
-    rec_ref = metrics.avg_recall(refined, gt, args.k)
-    out["refined_recall_at_k"] = round(rec_ref, 4)
-    log(f"refined@{args.k}: {rec_ref:.4f}")
+    # --- refined recall (decoded8 candidates -> exact rerank R -> k), the
+    # reference's Fig. 11 refine sweep (refine 100-500,
+    # ExperimentsParameters.txt:114-124) ---
+    for r_depth in (100, 500):
+        _, cand = idx.search_device(jnp.asarray(queries), r_depth,
+                                    backend="decoded8")
+        _, refined = exact_rescore_chunked(queries, np.asarray(cand),
+                                           chunk_fn, args.n, args.chunk,
+                                           args.k)
+        rec_ref = metrics.avg_recall(refined, gt, args.k)
+        key = ("refined_recall_at_k" if r_depth == 100
+               else f"refined{r_depth}_recall_at_k")
+        out[key] = round(rec_ref, 4)
+        log(f"refined({r_depth}->{args.k}): {rec_ref:.4f}")
 
     out["value"] = out["decoded8_qps"]
     out["vs_baseline"] = 1.0

@@ -81,7 +81,7 @@ def test_encode_exactness_vs_oracle(pair):
     idx, _, base, *_ = pair
     orc = _inject(idx)
     orc.encode(base)
-    agree = (orc.codes == np.asarray(idx.codes).astype(np.int64)).mean()
+    agree = (orc.codes == idx.codes_rowmajor().astype(np.int64)).mean()
     # identical argmins modulo f32 summation-order ties
     assert agree > 0.995, agree
 
@@ -91,7 +91,7 @@ def test_scan_exactness_vs_oracle(pair):
     distances match to f32 tolerance, labels match modulo distance ties."""
     idx, _, base, queries, _ = pair
     orc = _inject(idx)
-    orc.codes = np.asarray(idx.codes).astype(np.int64)
+    orc.codes = idx.codes_rowmajor().astype(np.int64)
     k = 10
     d_o, l_o = orc.search(queries[:16], k)
     d_e, l_e = idx.search(queries[:16], k, backend="lut_gather")

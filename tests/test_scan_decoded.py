@@ -18,7 +18,7 @@ def _setup(seed=0, n=2000, m=8, c=16, l=4, nq=6):
 
 def test_decode_db_reconstruction():
     cent, codes, _ = _setup()
-    dec, norms = scan_decoded.decode_db(jnp.asarray(codes), jnp.asarray(cent),
+    dec, norms = scan_decoded.decode_db(jnp.asarray(codes.T), jnp.asarray(cent),
                                         block_rows=256)
     n, m = codes.shape
     l = cent.shape[2]
@@ -34,7 +34,7 @@ def test_decoded_matches_lut_scan():
     k = 20
     luts = scan_jax.build_luts(jnp.asarray(q), jnp.asarray(cent))
     d_lut, i_lut = scan_jax.adc_scan_topk(jnp.asarray(codes), luts, k)
-    dec, norms = scan_decoded.decode_db(jnp.asarray(codes), jnp.asarray(cent))
+    dec, norms = scan_decoded.decode_db(jnp.asarray(codes.T), jnp.asarray(cent))
     d_dec, i_dec = scan_decoded.decoded_scan_topk(dec, norms, jnp.asarray(q),
                                                   k, exact=True)
     # bf16 rounding perturbs distances slightly; top-k sets should overlap
@@ -50,7 +50,7 @@ def test_decoded_exact_vs_approx():
     """approx candidate selection + exact rescore ≈ exact top-k (high overlap,
     identical distances on the common prefix)."""
     cent, codes, q = _setup(seed=1)
-    dec, norms = scan_decoded.decode_db(jnp.asarray(codes), jnp.asarray(cent))
+    dec, norms = scan_decoded.decode_db(jnp.asarray(codes.T), jnp.asarray(cent))
     d1, i1 = scan_decoded.decoded_scan_topk(dec, norms, jnp.asarray(q), 10,
                                             exact=True)
     d2, i2 = scan_decoded.decoded_scan_topk(dec, norms, jnp.asarray(q), 10,
@@ -64,7 +64,7 @@ def test_decoded_exact_vs_approx():
 
 def test_decoded_n_valid():
     cent, codes, q = _setup(seed=2)
-    dec, norms = scan_decoded.decode_db(jnp.asarray(codes), jnp.asarray(cent))
+    dec, norms = scan_decoded.decode_db(jnp.asarray(codes.T), jnp.asarray(cent))
     _, i = scan_decoded.decoded_scan_topk(dec, norms, jnp.asarray(q), 10,
                                           n_valid=jnp.int32(17))
     assert np.asarray(i).max() < 17
@@ -101,10 +101,10 @@ def test_decode_db_int8_reconstruction():
     from vaq_tpu.ops import scan_decoded
     cent, codes, _ = _setup()
     d8, scales, norms = scan_decoded.decode_db_int8(
-        jnp.asarray(codes), jnp.asarray(cent), block_rows=256)
+        jnp.asarray(codes.T), jnp.asarray(cent), block_rows=256)
     m, l = cent.shape[0], cent.shape[2]
     ref = np.concatenate([cent[s][codes[:, s]] for s in range(m)], axis=1)
-    rec = np.asarray(d8, dtype=np.float32) / np.asarray(scales)[None, :]
+    rec = np.asarray(d8, dtype=np.float32).T / np.asarray(scales)[None, :]
     # int8 quantization error bounded by step size per dim
     step = 1.0 / np.asarray(scales)
     assert np.all(np.abs(rec - ref) <= step[None, :] * 0.51 + 1e-6)

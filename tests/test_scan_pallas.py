@@ -154,7 +154,7 @@ def test_decode_scan_topk_exact_vs_bruteforce():
         table, _ = scan_pallas.build_decode_table(cents)
         rows = scan_pallas.build_decode_rows(cents)
         dk, ik = scan_pallas.decode_scan_topk(
-            jnp.asarray(codes), table, rows, jnp.asarray(qp), 10,
+            jnp.asarray(codes.T.copy()), table, rows, jnp.asarray(qp), 10,
             block_rows=br, q_tile=8, interpret=True)
         dk, ik = np.asarray(dk), np.asarray(ik)
         xhat = cents[np.arange(m)[None, :], codes].reshape(n, d)

@@ -23,13 +23,13 @@ def test_train_state_shapes(trained):
     assert idx.highest_subs == 16
     assert idx.subs_len == 8
     assert idx.centroids.shape == (16, 256, 8)
-    assert idx.codes.shape == (base.shape[0], 16)
+    assert idx.codes.shape == (16, base.shape[0])  # transposed storage
     assert idx.codes.dtype == np.uint8
 
 
 def test_codes_in_range(trained):
     idx, _, _, _ = trained
-    codes = np.asarray(idx.codes)
+    codes = idx.codes_rowmajor()
     for s in range(idx.highest_subs):
         assert codes[:, s].max() < idx.centroid_counts[s]
 
@@ -171,7 +171,7 @@ def test_reference_artifact_roundtrip(tmp_path, trained):
     idx2 = VAQIndex.from_reference_artifacts(idx.config, cp, kp, base)
     np.testing.assert_allclose(idx2.eigvecs, idx.eigvecs, atol=1e-5)
     np.testing.assert_array_equal(
-        np.asarray(idx2.codes), np.asarray(idx.codes)[:, : idx2.highest_subs])
+        idx2.codes_rowmajor(), idx.codes_rowmajor()[:, : idx2.highest_subs])
     d1, l1 = idx.search(queries[:16], 10)
     d2, l2 = idx2.search(queries[:16], 10)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))

@@ -41,51 +41,59 @@ import jax.numpy as jnp
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
-def decode_db(codes: jnp.ndarray, centroids: jnp.ndarray,
+def decode_db(codes_t: jnp.ndarray, centroids: jnp.ndarray,
               block_rows: int = 65536) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Materialize decoded rows (bf16) + f32 squared norms.
 
-    codes: (n, M) ints; centroids: (M, C, L) f32 →
+    codes_t: (M, n) ints (transposed storage — the u8 (32, 128) tile packs
+    (M, n) exactly; (n, M) lane-pads 4×); centroids: (M, C, L) f32 →
     returns (decoded (n, M*L) bf16, norms (n,) f32).
     """
-    n, m = codes.shape
+    m, n = codes_t.shape
     _, c, l = centroids.shape
     pad = (-n) % block_rows
-    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
-    blocks = codes_p.reshape(-1, block_rows, m)
+    codes_p = jnp.pad(codes_t, ((0, 0), (0, pad)))
+    nblocks = codes_p.shape[1] // block_rows
 
-    def dec(blk):
+    def dec(i):
         # per-subspace gather of (C, L) by (nb,) — one-time cost at build.
         # (int32 widening happens per block: a whole-array cast would
         # transiently cost 4 B/code — 12.8 GB at 100M rows × 32 subspaces.)
-        blk = blk.astype(jnp.int32)
+        blk = jax.lax.dynamic_slice_in_dim(
+            codes_p, i * block_rows, block_rows, axis=1).astype(jnp.int32)
         g = jax.vmap(lambda cent_s, code_s: cent_s[code_s],
-                     in_axes=(0, 1))(centroids, blk)     # (M, nb, L)
+                     in_axes=(0, 0))(centroids, blk)     # (M, nb, L)
         rows = jnp.transpose(g, (1, 0, 2)).reshape(block_rows, m * l)
         norms = jnp.sum(rows * rows, axis=1)
         return rows.astype(jnp.bfloat16), norms
 
-    dec_rows, norms = jax.lax.map(dec, blocks)
+    dec_rows, norms = jax.lax.map(dec, jnp.arange(nblocks))
     return (dec_rows.reshape(-1, m * l)[:n], norms.reshape(-1)[:n])
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def decode_db_int8(
-    codes: jnp.ndarray, centroids: jnp.ndarray, block_rows: int = 65536,
+    codes_t: jnp.ndarray, centroids: jnp.ndarray, block_rows: int = 65536,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Int8 variant of :func:`decode_db` — the capacity tier.
 
     Rows are stored as int8 with one per-dimension scale (folded into the
-    query at search time), 4× less HBM than bf16: at d=128 that is 128 B/row
-    vs the 32 B of raw codes, so ~100M rows fit one chip's HBM while the
-    scan stays an MXU matmul (int8×int8→int32). This is the TPU-native
-    answer to the reference's u8-LUT fast scan (V14-V16): *quantize the
-    reconstruction, not the lookup table*.
+    query at search time), 4× less HBM than bf16. Storage is TRANSPOSED
+    (D, n): the int8 (32, 128) tile packs any D that is a multiple of 32
+    exactly, while row-major (n, D) lane-pads D up to 128 (a 1.33×
+    expansion at the Fig.-11 d=96 — 3.2 GB of waste at 100M rows). This is
+    the TPU-native answer to the reference's u8-LUT fast scan (V14-V16):
+    *quantize the reconstruction, not the lookup table*.
 
-    Returns (decoded8 (n, D) int8, dim_scales (D,) f32 with
+    The output is written block-by-block into one carried buffer (in-place
+    dynamic updates inside fori_loop), so transients stay O(block). Pass a
+    ``block_rows`` that divides n at large scale — the final unpad slice
+    otherwise copies the whole buffer.
+
+    Returns (decoded8 (D, n) int8, dim_scales (D,) f32 with
     x ≈ decoded8 / dim_scales, norms (n,) f32 exact).
     """
-    n, m = codes.shape
+    m, n = codes_t.shape
     _, c, l = centroids.shape
     # int8 range per dim from the centroid extrema (padding sentinels are
     # masked out by taking per-subspace valid maxima via finite check).
@@ -94,23 +102,29 @@ def decode_db_int8(
     dim_scales = 127.0 / jnp.maximum(dim_max, 1e-30)
 
     pad = (-n) % block_rows
-    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
-    blocks = codes_p.reshape(-1, block_rows, m)
+    codes_p = jnp.pad(codes_t, ((0, 0), (0, pad)))
+    npad = codes_p.shape[1]
 
-    def dec(blk):
+    def body(i, carry):
+        buf, nbuf = carry
         # per-block int32 widening (see decode_db) — keeps the transient
         # device footprint O(block) instead of O(n) at 100M-row scale.
-        blk = blk.astype(jnp.int32)
+        blk = jax.lax.dynamic_slice_in_dim(
+            codes_p, i * block_rows, block_rows, axis=1).astype(jnp.int32)
         g = jax.vmap(lambda cent_s, code_s: cent_s[code_s],
-                     in_axes=(0, 1))(centroids, blk)
+                     in_axes=(0, 0))(centroids, blk)      # (M, nb, L)
         rows = jnp.transpose(g, (1, 0, 2)).reshape(block_rows, m * l)
         norms = jnp.sum(rows * rows, axis=1)
         q8 = jnp.clip(jnp.round(rows * dim_scales[None, :]), -127, 127)
-        return q8.astype(jnp.int8), norms
+        buf = jax.lax.dynamic_update_slice(
+            buf, q8.astype(jnp.int8).T, (0, i * block_rows))
+        nbuf = jax.lax.dynamic_update_slice(nbuf, norms, (i * block_rows,))
+        return buf, nbuf
 
-    dec_rows, norms = jax.lax.map(dec, blocks)
-    return (dec_rows.reshape(-1, m * l)[:n], dim_scales,
-            norms.reshape(-1)[:n])
+    buf = jnp.zeros((m * l, npad), jnp.int8)
+    nbuf = jnp.zeros((npad,), jnp.float32)
+    buf, nbuf = jax.lax.fori_loop(0, npad // block_rows, body, (buf, nbuf))
+    return buf[:, :n], dim_scales, nbuf[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "exact", "recall_target"))
@@ -128,10 +142,13 @@ def decoded8_scan_topk(
     """Int8 scan: fold per-dim scales into the query, quantize the query with
     one global scale, run the int8 MXU matmul, approx-top-k, exact rescore.
 
-    decoded_rescore: rows used for the exact rescore — pass the int8 matrix
-    itself (dequantized on the fly) or a higher-precision copy if available.
+    decoded_rescore: rows used for the exact rescore — pass the (D, n) int8
+    matrix itself (dequantized on the fly). (Reconstructing the winners from
+    codes + centroids instead was tried and measured 3× slower — the u8
+    column gather + per-subspace table lookups lower much worse in XLA than
+    one int8 column gather.)
     """
-    n = decoded8.shape[0]
+    n = decoded8.shape[1]                                 # (D, n) transposed
     if n_valid is not None:
         col = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
         norms = jnp.where(col < n_valid, norms, jnp.inf)
@@ -141,9 +158,10 @@ def decoded8_scan_topk(
     # tier), the MXU runs bf16, and — measured — the epilogue fuses into
     # approx_max_k where the int8×int8→i32→f32 form did not. int8 values are
     # exact in bf16; only the query side carries bf16 rounding, and the k
-    # winners are rescored exactly below.
+    # winners are rescored exactly below. The (D, n) storage is already the
+    # matmul's rhs orientation.
     q_folded = (queries_proj / dim_scales[None, :]).astype(jnp.bfloat16)
-    inner = jnp.dot(q_folded, decoded8.astype(jnp.bfloat16).T,
+    inner = jnp.dot(q_folded, decoded8.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)   # ≈ q·x̂
     score = 2.0 * inner - norms[None, :]
     # Over-fetch 2k candidates: bf16 score rounding can locally shuffle
@@ -162,10 +180,10 @@ def decoded8_scan_topk(
     if kk < k:
         idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
     safe = jnp.maximum(idx, 0)
-    rows = (decoded_rescore[safe].astype(jnp.float32)
-            / dim_scales[None, None, :]
-            if decoded_rescore.dtype == jnp.int8
-            else decoded_rescore[safe].astype(jnp.float32))
+    rows = jnp.transpose(decoded_rescore[:, safe],
+                         (1, 2, 0)).astype(jnp.float32)   # (nq, kk, D)
+    if decoded_rescore.dtype == jnp.int8:
+        rows = rows / dim_scales[None, None, :]
     diff = queries_proj[:, None, :] - rows
     d2 = jnp.sum(diff * diff, axis=2)
     d2 = jnp.where(idx >= 0, d2, jnp.inf)

@@ -285,7 +285,9 @@ def _decode_score_kernel(table_ref, rep_ref, codes_ref, q_ref,
     ‖q‖² − 2·q·x̂ + ‖x̂‖², so scoring is a (rows × d) · (d × qt) matmul —
     d MACs per (row, query) instead of the one-hot form's M·C.
     """
-    nb, m = codes_ref.shape
+    m, nb = codes_ref.shape    # codes arrive TRANSPOSED (m, rows): the u8
+    # tile is (32, 128), so (m, n) storage is exact 1 B/code while (n, m)
+    # with m < 128 lanes pads 4× (11.9 GB for 3.2 GB of codes at 100M rows)
     h, d = table_ref.shape
     nsub = h // 8          # hierarchical 8-row sub-tables (see below)
     qt = q_ref.shape[0]
@@ -295,12 +297,14 @@ def _decode_score_kernel(table_ref, rep_ref, codes_ref, q_ref,
 
     @pl.when(pl.program_id(1) == 0)
     def decode():
-        # Lane replication code[r, s] → cl[r, s·L+j] via the selection
-        # matmul (Mosaic has no minor-dim reshape on vectors); codes < 256
-        # are exact in bf16, one (NB, M)·(M, d) matmul for the whole cell.
+        # Lane replication codesT[s, r] → cl[r, s·L+j] via the selection
+        # matmul with the contraction on the SUBLANE dim of codesT (Mosaic
+        # has no minor-dim reshape on vectors, and the lhs-transposed
+        # dot_general is native); codes < 256 are exact in bf16, one
+        # (M, NB)ᵀ·(M, d) matmul for the whole cell.
         cl_ref[:] = jax.lax.dot_general(
             codes_ref[:].astype(jnp.int32).astype(jnp.bfloat16), rep_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(jnp.int32)
 
         # Mosaic's sublane dynamic_gather spans ONE vreg: 8 32-bit rows with
@@ -347,7 +351,7 @@ def _decode_score_kernel(table_ref, rep_ref, codes_ref, q_ref,
 @functools.partial(jax.jit,
                    static_argnames=("block_rows", "q_tile", "interpret"))
 def decode_window_scan(
-    codes: jnp.ndarray,      # (n, M) ints < C, n % (8·block_rows) == 0
+    codes_t: jnp.ndarray,    # (M, n) ints < C, n % (8·block_rows) == 0
     dec_table: jnp.ndarray,  # (Hpad, d) f32 decode table (see build below)
     qp: jnp.ndarray,         # (nq, d) f32 projected queries
     block_rows: int = 512,
@@ -357,15 +361,17 @@ def decode_window_scan(
     """Per-(query, window) best candidate via the decode-then-dot kernel.
 
     The codes-resident capacity tier at near-decoded throughput: HBM holds
-    only the codes (M B/row); reconstruction happens in VMEM. The
-    MXU cost is nq·n·d MACs — C-independent, unlike the one-hot kernel
-    (``fast4_window_scan``) whose cost is nq·n·M·C; at the headline config
-    (d=128, M=32, C=256) that is a 64× FLOP reduction, turning the 8-bit
-    capacity scan from compute-bound to bandwidth/VPU-bound.
+    only the codes (M B/row — stored transposed (M, n) so the u8 (32, 128)
+    tile packs exactly; row-major (n, M) storage lane-pads 4×);
+    reconstruction happens in VMEM. The MXU cost is nq·n·d MACs —
+    C-independent, unlike the one-hot kernel (``fast4_window_scan``) whose
+    cost is nq·n·M·C; at the headline config (d=128, M=32, C=256) that is a
+    64× FLOP reduction, turning the 8-bit capacity scan from compute-bound
+    to bandwidth/VPU-bound.
 
     Returns (scores (nq, nblocks) f32, row_ids (nq, nblocks) i32 global).
     """
-    n, m = codes.shape
+    m, n = codes_t.shape
     nq, d = qp.shape
     h = dec_table.shape[0]
     assert h % 8 == 0, "decode table rows must be padded to a multiple of 8"
@@ -381,8 +387,8 @@ def decode_window_scan(
     nq_p = qp_p.shape[0]
     qn = jnp.sum(qp_p * qp_p, axis=1, keepdims=True).T    # (1, nq_p) f32
     q_bf = qp_p.astype(jnp.bfloat16)
-    if codes.dtype not in (jnp.int8, jnp.uint8):
-        codes = codes.astype(jnp.uint8)
+    if codes_t.dtype not in (jnp.int8, jnp.uint8):
+        codes_t = codes_t.astype(jnp.uint8)
     # rep[s, s·L+j] = 1 replicates subspace s's code across its L lanes
     l = d // m
     rep = (jax.lax.broadcasted_iota(jnp.int32, (m, d), 1) // l
@@ -398,7 +404,7 @@ def decode_window_scan(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((m, d), lambda c, q: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cell_rows, m), lambda c, q: (c, 0),
+            pl.BlockSpec((m, cell_rows), lambda c, q: (0, c),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((q_tile, d), lambda c, q: (q, 0),
                          memory_space=pltpu.VMEM),
@@ -415,7 +421,7 @@ def decode_window_scan(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(dec_table, rep, codes, q_bf, qn)
+    )(dec_table, rep, codes_t, q_bf, qn)
 
     packed = packed_t.T[:nq]                               # (nq, nblocks)
     ids_local = (packed & idx_mask).astype(jnp.int32)
@@ -543,7 +549,7 @@ def build_decode_rows(centroids):
 @functools.partial(
     jax.jit, static_argnames=("k", "block_rows", "q_tile", "interpret"))
 def decode_scan_topk(
-    codes: jnp.ndarray,      # (n, M)
+    codes_t: jnp.ndarray,    # (M, n) — transposed storage, see window scan
     dec_table: jnp.ndarray,  # (Hpad, d) i32 from build_decode_table
     rows_f32: jnp.ndarray,   # (Cpad8, d) f32 from build_decode_rows
     qp: jnp.ndarray,         # (nq, d) f32 projected queries
@@ -557,11 +563,11 @@ def decode_scan_topk(
     top-k windows → exact f32 rescore of the k winners from the centroids.
     Drop-in result contract of ``fast4_scan_topk`` (distances are exact ADC
     f32 sums for the returned ids)."""
-    n, m = codes.shape
+    m, n = codes_t.shape
     nq, d = qp.shape
     l = d // m
     pad = (-n) % (W_PER_CELL * block_rows)
-    codes_p = jnp.pad(codes, ((0, pad), (0, 0)))
+    codes_p = jnp.pad(codes_t, ((0, 0), (0, pad)))
     scores, ids = decode_window_scan(codes_p, dec_table, qp,
                                      block_rows=block_rows, q_tile=q_tile,
                                      interpret=interpret)
@@ -586,7 +592,8 @@ def decode_scan_topk(
     # exact rescore: reconstruct the kk winners in f32 and measure ‖q − x̂‖²
     # (in a tiny Pallas pass — XLA's scattered centroid gather costs ~4.5 ms
     # here, more than the whole window scan)
-    cand = codes_p[jnp.maximum(top_ids, 0)]                # (nq, kk, M)
+    cand = jnp.transpose(codes_p[:, jnp.maximum(top_ids, 0)],
+                         (1, 2, 0))                        # (nq, kk, M)
     q_rep = jnp.broadcast_to(qp[:, None, :], (nq, kk, d)).reshape(-1, d)
     d2 = decode_rescore(cand.reshape(-1, m), rows_f32, q_rep,
                         interpret=interpret).reshape(nq, kk)

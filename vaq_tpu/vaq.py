@@ -89,8 +89,12 @@ class VAQIndex:
     centroids: Optional[np.ndarray] = None      # (M', Cmax, L) f32, padded
     centroid_counts: Optional[np.ndarray] = None  # (M',) = 2^bits_i
 
-    # Encoded database.
-    codes: Optional[jnp.ndarray] = None         # (n, M') int on device
+    # Encoded database — TRANSPOSED device storage (M', n): the TPU u8 tile
+    # is (32 sublanes, 128 lanes), so (M', n) packs exactly 1 B/code while
+    # row-major (n, M') with M' < 128 lanes pads 4× (11.9 GB instead of
+    # 3.2 GB at 100M×32). Host-facing APIs (save/get_codes/oracles) stay
+    # row-major via codes_rowmajor().
+    codes: Optional[jnp.ndarray] = None         # (M', n) int on device
     n_rows: int = 0
 
     # Decoded-scan backend state (bf16 reconstruction + exact f32 norms);
@@ -98,7 +102,9 @@ class VAQIndex:
     decoded: Optional[jnp.ndarray] = None       # (n, M'*L) bf16
     decoded_norms: Optional[jnp.ndarray] = None  # (n,) f32
     # Int8 capacity tier (4x less HBM than bf16; ~100M rows/chip at d=128).
-    decoded8: Optional[jnp.ndarray] = None      # (n, M'*L) int8
+    # Also transposed: the int8 tile packs any D multiple of 32 exactly
+    # ((n, 96) would lane-pad 1.33×, +3.2 GB at 100M).
+    decoded8: Optional[jnp.ndarray] = None      # (M'*L, n) int8
     decoded8_scales: Optional[jnp.ndarray] = None  # (M'*L,) f32
     decoded8_norms: Optional[jnp.ndarray] = None   # (n,) f32
 
@@ -292,11 +298,11 @@ class VAQIndex:
         # Narrow dtype: u8 when every subspace fits (saves HBM + bandwidth).
         dtype = (jnp.uint8 if max_bits <= 8
                  else jnp.uint16 if max_bits <= 16 else jnp.int32)
-        buf = jnp.zeros((n, self.highest_subs), dtype=dtype)
+        buf = jnp.zeros((self.highest_subs, n), dtype=dtype)  # transposed
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def write(b, c, start):
-            return jax.lax.dynamic_update_slice(b, c, (start, 0))
+            return jax.lax.dynamic_update_slice(b, c, (0, start))
 
         d_in = ev_dev.shape[0]
         for i, start in enumerate(range(0, n, chunk_rows)):
@@ -304,7 +310,7 @@ class VAQIndex:
             if rows.shape[1] < d_in:  # same zero-pad as io.pad_dims, on device
                 rows = jnp.pad(rows, ((0, 0), (0, d_in - rows.shape[1])))
             xp = jnp.dot(rows, ev_dev, preferred_element_type=jnp.float32)
-            buf = write(buf, _encode_blocked(xp, cent_dev).astype(dtype),
+            buf = write(buf, _encode_blocked(xp, cent_dev).T.astype(dtype),
                         start)
         self.codes = jax.block_until_ready(buf)
         self.n_rows = n
@@ -444,7 +450,11 @@ class VAQIndex:
         x_train = io.pad_dims(np.asarray(x_train, dtype=np.float32),
                               self.config.subspace_num)
         n = x_train.shape[0]
-        sample_n = max(1, int(sample_ratio * n))
+        # Cap the sample (the reference uses the raw ratio, VAQ.cpp:1124):
+        # the α-grid picks one (offset, scale) pair per subspace from column
+        # quantiles, which saturate long before 64k sampled queries — an
+        # uncapped 0.1·n at 100M rows would materialize a ~300 GB LUT array.
+        sample_n = min(max(1, int(sample_ratio * n)), 65536)
         qs = sample_rows(x_train, sample_n, self.config.seed)
         qp = np.asarray(pca.project(qs, self.eigvecs, self.total_dim))
         luts = np.asarray(scan_jax.build_luts(jnp.asarray(qp),
@@ -651,14 +661,18 @@ class VAQIndex:
                         if lut8_kernel is not None:
                             lut8_kernel = jnp.pad(
                                 lut8_kernel, ((0, 0), (0, 0), (0, padc)))
+                    # fast4/gather scans keep the row-major (n, M) contract;
+                    # the device transpose is an O(n·M) transient on these
+                    # niche paths (the capacity-critical decode-then-dot
+                    # kernel consumes the transposed storage natively)
                     d, i = scan_pallas.fast4_scan_topk(
-                        self.codes, luts16, k,
+                        self.codes.T, luts16, k,
                         n_valid=jnp.int32(self.n_rows), block_rows=br,
                         interpret=jax.default_backend() == "cpu",
                         luts8=lut8_kernel)
                 else:
                     d, i = scan_jax.adc_scan_topk(
-                        self.codes, luts, k,
+                        self.codes.T, luts, k,
                         n_valid=jnp.int32(self.n_rows),
                         block_rows=block_rows)
             all_d[start:start + qb.shape[0]] = np.asarray(d)
@@ -691,13 +705,13 @@ class VAQIndex:
         xp = pca.project(x_new, self.eigvecs, self.total_dim)
         new_codes = _encode_blocked(xp, jnp.asarray(self.centroids),
                                     block_rows=max(8, x_new.shape[0]))
-        new_codes = new_codes.astype(self.codes.dtype)
+        new_codes_t = new_codes.T.astype(self.codes.dtype)
         start = self.n_rows
-        self.codes = jnp.concatenate([self.codes, new_codes], axis=0)
+        self.codes = jnp.concatenate([self.codes, new_codes_t], axis=1)
         self.n_rows += x_new.shape[0]
         if self.decoded is not None:
             dec, norms = scan_decoded.decode_db(
-                new_codes, jnp.asarray(self.centroids),
+                new_codes_t, jnp.asarray(self.centroids),
                 block_rows=max(8, x_new.shape[0]))
             self.decoded = jnp.concatenate([self.decoded, dec], axis=0)
             self.decoded_norms = jnp.concatenate(
@@ -736,9 +750,14 @@ class VAQIndex:
                 dec = np.bincount(r, minlength=st.ncl).astype(np.int32)
                 st.sizes = st.sizes - jnp.asarray(dec)
 
+    def codes_rowmajor(self) -> np.ndarray:
+        """Host copy of the codes in row-major (n, M') order (the storage is
+        transposed on device — see the field comment)."""
+        return np.ascontiguousarray(np.asarray(self.codes).T)
+
     def get_codes(self, ids) -> np.ndarray:
         """Raw codes of rows (the getBitV analog)."""
-        return np.asarray(self.codes)[np.atleast_1d(ids)]
+        return np.asarray(self.codes[:, jnp.asarray(np.atleast_1d(ids))]).T
 
     def reconstruct(self, ids) -> np.ndarray:
         """Decoded (reconstructed) vectors of rows."""
@@ -820,7 +839,8 @@ class VAQIndex:
             "centroid_counts": self.centroid_counts,
         }
         if self.codes is not None:
-            arrays["codes"] = np.asarray(self.codes)
+            # artifact format stays row-major (n, M') for interop stability
+            arrays["codes"] = self.codes_rowmajor()
         if self.lut_offsets is not None:
             arrays["lut_offsets"] = self.lut_offsets
             arrays["lut_scales"] = self.lut_scales
@@ -848,7 +868,7 @@ class VAQIndex:
         cents = [self.centroids[s, : int(self.centroid_counts[s])]
                  for s in range(self.highest_subs)]
         io.save_centroids_ref(centroids_path, cents)
-        io.save_codebook_ref(codes_path, np.asarray(self.codes))
+        io.save_codebook_ref(codes_path, self.codes_rowmajor())
 
     @classmethod
     def from_reference_artifacts(cls, config: VAQConfig, centroids_path: str,
@@ -886,7 +906,7 @@ class VAQIndex:
 
         codes = io.load_codebook_ref(codes_path)
         idx.codes = jnp.asarray(codes[:, : idx.highest_subs].astype(
-            np.uint16 if idx.bits.max() > 8 else np.uint8))
+            np.uint16 if idx.bits.max() > 8 else np.uint8).T.copy())
         idx.n_rows = codes.shape[0]
         return idx
 
@@ -910,7 +930,8 @@ class VAQIndex:
         idx.orig_dim = meta["orig_dim"]
         idx.n_rows = meta["n_rows"]
         if "codes" in arrays:
-            idx.codes = jnp.asarray(arrays["codes"])
+            # artifact is row-major (n, M'); device storage is transposed
+            idx.codes = jnp.asarray(arrays["codes"].T.copy())
         if "lut_offsets" in arrays:
             idx.lut_offsets = arrays["lut_offsets"]
             idx.lut_scales = arrays["lut_scales"]
