@@ -84,9 +84,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=100_000_000)
     p.add_argument("--d", type=int, default=96)
-    p.add_argument("--queries", type=int, default=128)
+    # 1024-query batches: the decode-then-dot tier reconstructs every cell
+    # once per CALL, so throughput is batch-amortized (its use case is bulk
+    # serving); decoded8 is batch-insensitive.
+    p.add_argument("--queries", type=int, default=1024)
     p.add_argument("--k", type=int, default=10)
-    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--chunk", type=int, default=2_000_000)
     p.add_argument("--source", choices=["device", "disk"], default="device")
     # max8 (not the reference's max12/13) so the codes tier stays u8/32 B-row

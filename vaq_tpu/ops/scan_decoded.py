@@ -39,6 +39,11 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+# Above this row count, gather-based exact winner rescore is replaced by
+# score-derived distances (the gather forces a full relayout copy of the
+# transposed int8 matrix — see decoded8_scan_topk).
+_RESCORE_GATHER_MAX = 16_000_000
+
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def decode_db(codes_t: jnp.ndarray, centroids: jnp.ndarray,
@@ -179,6 +184,21 @@ def decoded8_scan_topk(
     idx = jnp.where(jnp.isfinite(vals), idx, -1)
     if kk < k:
         idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)),
+                       constant_values=-jnp.inf)
+    if n > _RESCORE_GATHER_MAX:
+        # Column-gathering kk winners from the (D, n) int8 matrix makes XLA
+        # relayout-copy the WHOLE array (+11.9 GB at 100M — it OOMed the
+        # first capacity run). At capacity scale return distances derived
+        # from the already-f32 scores instead: d² = ‖q‖² − score, exact up
+        # to the scan's own bf16·int8 rounding; membership is protected by
+        # the 2k over-fetch, and exact distances come from the refine stage
+        # (exact_rescore_chunked), as in the reference's Fig. 11 pipeline.
+        qn = jnp.sum(queries_proj * queries_proj, axis=1, keepdims=True)
+        d2 = jnp.maximum(qn - vals, 0.0)
+        d2 = jnp.where(idx >= 0, d2, jnp.inf)
+        neg, pos = jax.lax.top_k(-d2, k)
+        return -neg, jnp.take_along_axis(idx, pos, axis=1)
     safe = jnp.maximum(idx, 0)
     rows = jnp.transpose(decoded_rescore[:, safe],
                          (1, 2, 0)).astype(jnp.float32)   # (nq, kk, D)

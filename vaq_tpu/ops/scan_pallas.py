@@ -589,6 +589,17 @@ def decode_scan_topk(
     top_ids = jnp.take_along_axis(ids, pos, axis=1)        # (nq, kk)
     top_ids = jnp.where(jnp.take_along_axis(invalid, pos, axis=1), -1,
                         top_ids)
+    if n > 16_000_000:
+        # Column-gathering winner codes from the (M, n) u8 array makes XLA
+        # relayout the whole array (4× lane-padded — 12.8 GB at 100M). At
+        # capacity scale the window scores are already per-row distances
+        # computed in f32 from the bf16 decode (low idx_mask bits zeroed),
+        # so return those; the refine stage supplies exact distances.
+        d2 = jnp.take_along_axis(scores, pos, axis=1)
+        d2 = jnp.where(top_ids >= 0, d2, jnp.inf)
+        neg2, pos2 = jax.lax.top_k(-d2, k)
+        out_ids = jnp.take_along_axis(top_ids, pos2, axis=1)
+        return -neg2, jnp.where(jnp.isfinite(-neg2), out_ids, -1)
     # exact rescore: reconstruct the kk winners in f32 and measure ‖q − x̂‖²
     # (in a tiny Pallas pass — XLA's scattered centroid gather costs ~4.5 ms
     # here, more than the whole window scan)
