@@ -28,6 +28,132 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def chain_time(step_fn, qb_dev, iters):
+    """Chained-dependency timing: each iteration's query batch depends on
+    the previous result so the device cannot reorder or elide work; one tiny
+    scalar fetch drains the chain (per-call fetches cost ~30 ms tunnel
+    latency that is not chip time)."""
+    import jax.numpy as jnp
+
+    q = qb_dev
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        dd, ii = step_fn(q)
+        s = (jnp.sum(dd) + jnp.sum(ii.astype(jnp.float32)))
+        q = qb_dev + s.astype(qb_dev.dtype) * 1e-30
+    float(jnp.sum(q))
+    return time.perf_counter() - t0
+
+
+def measure_qps(step_fn, qb_dev, batch, iters):
+    """(qps, ms_per_batch) via marginal cost (T(iters) − T(1)) / (iters−1)."""
+    chain_time(step_fn, qb_dev, 1)  # warm/compile
+    t1 = min(chain_time(step_fn, qb_dev, 1) for _ in range(3))
+    tn = min(chain_time(step_fn, qb_dev, iters) for _ in range(3))
+    ms = (tn - t1) / (iters - 1) * 1000.0
+    return batch / (ms / 1000.0), ms
+
+
+def second_scale_fields(args, cache_dir):
+    """Second-scale section (VERDICT r1 #1/#3 "Done" criteria): codes-tier
+    QPS at 10M plus IVF-vs-exhaustive at visit ∈ {25, 10, 5}% (the
+    reference's Fig. 11 fractions, ExperimentsParameters.txt:114-124).
+
+    Data comes from DeviceChunkSource (chunk i is a pure function of
+    (seed, i)): this host's RAM moves at O(10 MB/s), so host-side datagen +
+    a 5 GB transfer would dominate the run; on-device regeneration keeps
+    host and device transients O(chunk). Only the groundtruth (tiny) is
+    cached — the build itself is ~1 min streamed.
+    """
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    import vaq_tpu
+    from vaq_tpu import metrics, pca
+    from vaq_tpu.data import DeviceChunkSource
+    from vaq_tpu.ivf import IVFSearcher, build_ivf
+    from vaq_tpu.ops.distances import exact_search_chunked
+
+    n2, d, chunk = args.second_n, args.d, 2_000_000
+    tag = f"{n2 / 1e6:g}M"
+    cfg = vaq_tpu.parse_method_string(args.config)
+    src = DeviceChunkSource(n2, d, chunk)
+    queries = src.queries(args.queries)
+
+    t0 = time.perf_counter()
+    idx = vaq_tpu.VAQIndex(cfg).train(src.host_sample(262_144))
+    idx.encode_chunks(src.chunk, n2, chunk)
+    build_s = time.perf_counter() - t0
+    log(f"[{tag}] build (streamed): {build_s:.0f}s")
+
+    gt_cache = os.path.join(cache_dir, f"gt_dev_n{n2}_d{d}_q{args.queries}"
+                                       f"_c{chunk}.npy")
+    if os.path.exists(gt_cache) and not args.no_cache:
+        gt = np.load(gt_cache)
+        log(f"[{tag}] groundtruth loaded from cache")
+    else:
+        t0 = time.perf_counter()
+        _, gt = exact_search_chunked(queries, src.chunk, n2, chunk, 100)
+        np.save(gt_cache, gt)
+        log(f"[{tag}] groundtruth (streamed exact): "
+            f"{time.perf_counter() - t0:.0f}s")
+
+    qb = jnp.asarray(queries[: args.batch])
+    iters = max(2, args.iters // 4)
+    fields = {"tenm_n": n2, "tenm_build_s": round(build_s, 1)}
+
+    # codes tier: decode-then-dot Pallas kernel over raw codes (32 B/row)
+    qps_c, ms_c = measure_qps(
+        lambda q: idx.search_device(q, args.k, backend="codes"),
+        qb, args.batch, iters)
+    _, lab = idx.search(queries, args.k, backend="codes")
+    rec_c = metrics.avg_recall(lab, gt, args.k)
+    log(f"[{tag}] codes QPS={qps_c:.1f} ({ms_c:.3f}ms/batch) "
+        f"recall@{args.k}={rec_c:.4f}")
+    fields["tenm_codes_qps"] = round(qps_c, 1)
+    fields["tenm_codes_recall_at_k"] = round(rec_c, 4)
+
+    # exhaustive decoded bf16 scan — the IVF comparison point
+    idx._ensure_decoded()
+    qps_x, ms_x = measure_qps(lambda q: idx.search_device(q, args.k),
+                              qb, args.batch, iters)
+    _, lab = idx.search(queries, args.k)
+    rec_x = metrics.avg_recall(lab, gt, args.k)
+    log(f"[{tag}] exhaustive QPS={qps_x:.1f} ({ms_x:.3f}ms/batch) "
+        f"recall@{args.k}={rec_x:.4f}")
+    fields["tenm_qps"] = round(qps_x, 1)
+    fields["tenm_recall_at_k"] = round(rec_x, 4)
+
+    # IVF cluster probe: one build, visit-fraction sweep
+    visits = [float(v) for v in str(args.ivf_visit_10m).split(",")]
+    idx.config = _dc.replace(idx.config, ti_cluster_num=args.ivf_clusters,
+                             ti_segment_num=16, visit=visits[0])
+    t0 = time.perf_counter()
+    state = build_ivf(idx)
+    log(f"[{tag}] ivf build ({args.ivf_clusters} clusters): "
+        f"{time.perf_counter() - t0:.0f}s")
+    qp_b = pca.project(qb, idx.eigvecs, idx.total_dim)
+    qp_all = pca.project(queries, idx.eigvecs, idx.total_dim)
+    sweep = []
+    for visit in visits:
+        searcher = IVFSearcher(state, visit)
+
+        def ivf_step(q, s=searcher):
+            eps = jnp.sum(q) * 1e-30
+            return s.search(idx, qp_b + eps, None, args.k, exact=False)
+
+        v_qps, v_ms = measure_qps(ivf_step, qb, args.batch, iters)
+        _, l_iv = searcher.search(idx, qp_all, None, args.k, exact=False)
+        v_rec = metrics.avg_recall(np.asarray(l_iv), gt, args.k)
+        sweep.append({"visit": visit, "qps": round(v_qps, 1),
+                      "ms": round(v_ms, 3), "recall_at_k": round(v_rec, 4)})
+        log(f"[{tag}] ivf QPS={v_qps:.1f} ({v_ms:.3f}ms/batch) "
+            f"recall@{args.k}={v_rec:.4f} (visit={visit})")
+    fields["tenm_ivf_sweep"] = sweep
+    return fields
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=1_000_000)
@@ -55,6 +181,14 @@ def main():
     p.add_argument("--serving-rate", type=float, default=8000.0,
                    help="offered load (QPS) for the paced serving latency "
                         "measurement")
+    p.add_argument("--second-n", type=int, default=10_000_000,
+                   help="row count for the second-scale section (0 disables)")
+    p.add_argument("--no-10m", action="store_true",
+                   help="skip the second-scale section (codes tier + "
+                        "IVF-vs-exhaustive at 10M)")
+    p.add_argument("--ivf-visit-10m", default="0.25,0.10,0.05",
+                   help="visit-fraction sweep for the second-scale IVF "
+                        "section (Fig. 11 fractions)")
     args = p.parse_args()
 
     import jax
@@ -127,48 +261,16 @@ def main():
     log(f"recall@10={recall10:.4f} recall@100={recall100:.4f} "
         f"refined@10={recall10_refined:.4f}")
 
-    # Timed steady-state QPS, chained methodology: each iteration's query
-    # batch depends on the previous result so the device cannot reorder or
-    # elide work, and a single tiny scalar fetch at the end drains the chain.
-    # (block_until_ready is unreliable through this harness's device tunnel,
-    # and per-iteration fetches add ~30 ms tunnel latency that is not chip
-    # time.) Marginal cost = (T(iters) - T(1)) / (iters - 1).
+    # Timed steady-state QPS (chained methodology, see chain_time).
     qb_dev = jnp.asarray(queries[: args.batch])
 
-    def chain(iters):
-        q = qb_dev
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            dd, ii = idx.search_device(q, args.k)
-            s = (jnp.sum(dd) + jnp.sum(ii)).astype(jnp.float32)
-            q = qb_dev + s * 1e-30
-        float(jnp.sum(q))  # one tiny fetch drains everything
-        return time.perf_counter() - t0
-
-    chain(1)  # warm/compile
-    t1 = min(chain(1) for _ in range(3))
-    tn = min(chain(args.iters) for _ in range(3))
-    batch_ms = (tn - t1) / (args.iters - 1) * 1000.0
-    qps = args.batch / (batch_ms / 1000.0)
+    qps, batch_ms = measure_qps(lambda q: idx.search_device(q, args.k),
+                                qb_dev, args.batch, args.iters)
     log(f"QPS={qps:.1f}  batch latency={batch_ms:.3f}ms (chained marginal)")
 
     # Secondary backends at the same scale.
-    def chain_generic(step_fn, iters):
-        q = qb_dev
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            dd, ii = step_fn(q)
-            s = (jnp.sum(dd) + jnp.sum(ii)).astype(jnp.float32)
-            q = qb_dev + s * 1e-30
-        float(jnp.sum(q))
-        return time.perf_counter() - t0
-
     def measure(step_fn, iters):
-        chain_generic(step_fn, 1)
-        t1 = min(chain_generic(step_fn, 1) for _ in range(3))
-        tn = min(chain_generic(step_fn, iters) for _ in range(3))
-        ms = (tn - t1) / (iters - 1) * 1000.0
-        return args.batch / (ms / 1000.0), ms
+        return measure_qps(step_fn, qb_dev, args.batch, iters)
 
     qps8 = ms8 = qps_h = ms_h = None
     if not args.no_secondary:
@@ -274,6 +376,9 @@ def main():
                  "ms": round(v_ms, 3), "recall_at_k": round(v_rec, 4)})
             log(f"ivf QPS={v_qps:.1f} ({v_ms:.3f}ms/batch) "
                 f"recall@{args.k}={v_rec:.4f} (visit={visit})")
+        # free the bucketed DB copy before the serving/second-scale sections
+        state = searcher = ivf_step = None
+        idx.ivf = None
 
     # Serving latency under continuous batching (VERDICT r1 #9): a paced
     # open-loop load at --serving-rate QPS (not a burst — burst p95 measures
@@ -329,6 +434,7 @@ def main():
             f"fetch={srv.sum_fetch_s / nb * 1000:.1f}ms/batch, "
             f"{nb} batches)")
         srv.close()
+        srv = None  # drops the server's reference to the index
 
     vs_baseline = 1.0
     bl_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -369,10 +475,26 @@ def main():
             out["ivf_sweep"] = ivf_results
     if serving_p50 is not None:
         out["serving_qps"] = round(serving_qps, 1)
-        out["serving_p50_ms"] = serving_p50
-        out["serving_p95_ms"] = serving_p95
+        out["serving_p50_ms"] = round(serving_p50, 2)
+        out["serving_p95_ms"] = round(serving_p95, 2)
     if build_s is not None:
         out["build_s"] = round(build_s, 1)
+
+    # Second-scale section (10M by default): codes tier + IVF-vs-exhaustive.
+    # Guarded so a failure at scale cannot lose the headline line.
+    if args.second_n and args.second_n != args.n and not args.no_10m:
+        # release the 1M-scale device state first (the 10M section needs
+        # ~7 GB HBM: decoded bf16 + transposed codes + IVF buckets)
+        idx = bidx = None
+        ivf_results_dev = None
+        import gc
+        gc.collect()
+        try:
+            out.update(second_scale_fields(args, cache_dir))
+        except Exception as e:  # noqa: BLE001 — headline line must survive
+            log(f"second-scale section failed: {e!r}")
+            out["tenm_error"] = repr(e)
+
     print(json.dumps(out))
 
 
