@@ -65,8 +65,6 @@ def second_scale_fields(args, cache_dir):
     host and device transients O(chunk). Only the groundtruth (tiny) is
     cached — the build itself is ~1 min streamed.
     """
-    import dataclasses as _dc
-
     import jax.numpy as jnp
 
     import vaq_tpu
@@ -100,13 +98,18 @@ def second_scale_fields(args, cache_dir):
             f"{time.perf_counter() - t0:.0f}s")
 
     qb = jnp.asarray(queries[: args.batch])
-    iters = max(2, args.iters // 4)
+    # Slow steps (codes/IVF, 50-160 ms/batch) keep a reduced iteration count;
+    # the fast exhaustive step (~15 ms/batch) uses the full count so its
+    # marginal signal (iters-1)·ms comfortably exceeds the ±200 ms tunnel
+    # jitter that BASELINE.md cites as grounds for not reporting 20M numbers
+    # (ADVICE r2: at iters=8 the 10M signal was ~105 ms — noise-dominated).
+    iters_slow = max(2, args.iters // 4)
     fields = {"tenm_n": n2, "tenm_build_s": round(build_s, 1)}
 
     # codes tier: decode-then-dot Pallas kernel over raw codes (32 B/row)
     qps_c, ms_c = measure_qps(
         lambda q: idx.search_device(q, args.k, backend="codes"),
-        qb, args.batch, iters)
+        qb, args.batch, iters_slow)
     _, lab = idx.search(queries, args.k, backend="codes")
     rec_c = metrics.avg_recall(lab, gt, args.k)
     log(f"[{tag}] codes QPS={qps_c:.1f} ({ms_c:.3f}ms/batch) "
@@ -117,7 +120,7 @@ def second_scale_fields(args, cache_dir):
     # exhaustive decoded bf16 scan — the IVF comparison point
     idx._ensure_decoded()
     qps_x, ms_x = measure_qps(lambda q: idx.search_device(q, args.k),
-                              qb, args.batch, iters)
+                              qb, args.batch, args.iters)
     _, lab = idx.search(queries, args.k)
     rec_x = metrics.avg_recall(lab, gt, args.k)
     log(f"[{tag}] exhaustive QPS={qps_x:.1f} ({ms_x:.3f}ms/batch) "
@@ -125,12 +128,12 @@ def second_scale_fields(args, cache_dir):
     fields["tenm_qps"] = round(qps_x, 1)
     fields["tenm_recall_at_k"] = round(rec_x, 4)
 
-    # IVF cluster probe: one build, visit-fraction sweep
+    # IVF cluster probe: one build, visit-fraction sweep (explicit params —
+    # no config mutation, VERDICT r2 weak #9)
     visits = [float(v) for v in str(args.ivf_visit_10m).split(",")]
-    idx.config = _dc.replace(idx.config, ti_cluster_num=args.ivf_clusters,
-                             ti_segment_num=16, visit=visits[0])
     t0 = time.perf_counter()
-    state = build_ivf(idx)
+    state = build_ivf(idx, ti_cluster_num=args.ivf_clusters,
+                      ti_segment_num=16)
     log(f"[{tag}] ivf build ({args.ivf_clusters} clusters): "
         f"{time.perf_counter() - t0:.0f}s")
     qp_b = pca.project(qb, idx.eigvecs, idx.total_dim)
@@ -143,7 +146,7 @@ def second_scale_fields(args, cache_dir):
             eps = jnp.sum(q) * 1e-30
             return s.search(idx, qp_b + eps, None, args.k, exact=False)
 
-        v_qps, v_ms = measure_qps(ivf_step, qb, args.batch, iters)
+        v_qps, v_ms = measure_qps(ivf_step, qb, args.batch, iters_slow)
         _, l_iv = searcher.search(idx, qp_all, None, args.k, exact=False)
         v_rec = metrics.avg_recall(np.asarray(l_iv), gt, args.k)
         sweep.append({"visit": visit, "qps": round(v_qps, 1),
@@ -342,18 +345,14 @@ def main():
     # exhaustive, one IVF build shared across the sweep.
     ivf_results = []
     if not args.no_ivf:
-        import dataclasses as _dc
-
         from vaq_tpu.ivf import IVFSearcher, build_ivf
 
         visits = [float(v) for v in str(args.ivf_visit).split(",")]
-        ti_cfg = _dc.replace(idx.config, ti_cluster_num=args.ivf_clusters,
-                             ti_segment_num=16, visit=visits[0])
-        idx.config = ti_cfg
         # the int8 tier isn't used by the IVF path; reclaim its HBM first
         idx.decoded8 = idx.decoded8_scales = idx.decoded8_norms = None
         t0 = time.perf_counter()
-        state = build_ivf(idx)
+        state = build_ivf(idx, ti_cluster_num=args.ivf_clusters,
+                          ti_segment_num=16)
         log(f"ivf build ({args.ivf_clusters} clusters): "
             f"{time.perf_counter() - t0:.1f}s")
         from vaq_tpu import pca
@@ -482,11 +481,14 @@ def main():
 
     # Second-scale section (10M by default): codes tier + IVF-vs-exhaustive.
     # Guarded so a failure at scale cannot lose the headline line.
-    if args.second_n and args.second_n != args.n and not args.no_10m:
+    # The quick-run recipe (--n 100000) skips it: a full-size run at a
+    # reduced primary n would otherwise still trigger the ~2 min 10M build
+    # + groundtruth stream (ADVICE r2).
+    if args.second_n and args.second_n != args.n and not args.no_10m \
+            and args.n >= 1_000_000:
         # release the 1M-scale device state first (the 10M section needs
         # ~7 GB HBM: decoded bf16 + transposed codes + IVF buckets)
         idx = bidx = None
-        ivf_results_dev = None
         import gc
         gc.collect()
         try:
