@@ -188,7 +188,10 @@ def test_codes_backend_matches_decoded():
     n/block_rows >> k)."""
     import vaq_tpu
     from vaq_tpu.data import make_sift_like
-    base, queries, gt = make_sift_like(n=4000, n_queries=8, d=64, seed=3)
+    # n ≥ 64·k·16 keeps the codes path eligible (block_rows floor is 16 —
+    # the Mosaic 128-lane minimum; below it the backend falls back to the
+    # decoded scan whose bf16 distances would fail the exactness check here)
+    base, queries, gt = make_sift_like(n=8000, n_queries=8, d=64, seed=3)
     cfg = vaq_tpu.parse_method_string("VAQ128m16min7max8var1,HEAP")
     idx = vaq_tpu.VAQIndex(cfg).train(base).encode(base)
     d_dec, i_dec = idx.search(queries, 5, backend="decoded")

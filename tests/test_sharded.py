@@ -185,3 +185,90 @@ def test_delete_after_shard(sift_like):
     idx.delete(victim)
     _, l1 = idx.search(queries[:4], 3)
     assert victim not in l1[0]
+
+
+def test_sharded_decoded8_matches_single(mesh8, sift_like):
+    """VERDICT r2 #4: the int8 capacity tier has a sharded path whose
+    results match the single-device decoded8 scan (set-equality modulo the
+    k-boundary, as for the bf16 tier)."""
+    from vaq_tpu.config import parse_method_string
+    from vaq_tpu.vaq import VAQIndex
+
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    d_ref, l_ref = idx.search_device(jnp.asarray(queries[:16]), 10,
+                                     backend="decoded8", exact=True)
+    idx.shard(mesh8, tiers=("decoded8",))
+    assert idx._sharded_decoded is None  # only the requested tier sharded
+    d_sh, l_sh = idx.search_device(jnp.asarray(queries[:16]), 10,
+                                   backend="decoded8", exact=True)
+    lr, ls = np.asarray(l_ref), np.asarray(l_sh)
+    np.testing.assert_array_equal(lr[:, 0], ls[:, 0])
+    # The sharded pool rescores 8·2k candidates vs 2k on one device, and the
+    # int8 tier's rescore itself is over dequantized rows, so up to two
+    # boundary slots can legitimately swap; the sharded merge can only
+    # improve the (int8-metric) distances.
+    for q in range(lr.shape[0]):
+        assert len(set(lr[q]) & set(ls[q])) >= 8, (q, lr[q], ls[q])
+    dr, ds = np.asarray(d_ref), np.asarray(d_sh)
+    np.testing.assert_allclose(ds[:, :5], dr[:, :5], rtol=1e-4, atol=1e-4)
+    assert np.all(ds <= dr + 1e-3)
+
+
+def test_sharded_codes_matches_single(mesh8, sift_like):
+    """VERDICT r2 #4: the codes-resident (decode-then-dot) tier has a
+    sharded path; per-shard windows are smaller, so compare top-1 and
+    overlap rather than exact sets (window-candidate semantics)."""
+    from vaq_tpu.config import parse_method_string
+    from vaq_tpu.vaq import VAQIndex
+
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    d_ref, l_ref = idx.search_device(jnp.asarray(queries[:8]), 5,
+                                     backend="codes")
+    idx.shard(mesh8, tiers=("codes",))
+    d_sh, l_sh = idx.search_device(jnp.asarray(queries[:8]), 5,
+                                   backend="codes")
+    lr, ls = np.asarray(l_ref), np.asarray(l_sh)
+    assert (ls >= 0).all() and (ls < idx.n_rows).all()
+    np.testing.assert_array_equal(lr[:, 0], ls[:, 0])
+    overlap = np.mean([len(set(lr[q]) & set(ls[q])) / 5
+                       for q in range(lr.shape[0])])
+    assert overlap >= 0.8, overlap
+
+
+def test_sharded_codes_tombstones(mesh8, sift_like):
+    """Deletes must be honored by the sharded codes tier (on-device id
+    post-filter after the merge)."""
+    from vaq_tpu.config import parse_method_string
+    from vaq_tpu.vaq import VAQIndex
+
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    idx.shard(mesh8, tiers=("codes",))
+    _, l0 = idx.search(queries[:4], 5, backend="codes")
+    victim = int(l0[0, 0])
+    idx_resharded = idx.delete(victim) or idx
+    # delete() keeps the sharded codes (ids filtered at query time)
+    _, l1 = idx.search(queries[:4], 5, backend="codes")
+    assert victim not in l1[0]
+
+
+def test_sharded_missing_tier_raises(mesh8, sift_like):
+    """A sharded index must fail loudly for a backend whose tier was not
+    sharded (VERDICT r2 weak #5: silent unsharded serving)."""
+    from vaq_tpu.config import parse_method_string
+    from vaq_tpu.errors import ConfigError
+    from vaq_tpu.vaq import VAQIndex
+
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    idx.shard(mesh8)  # decoded only
+    with pytest.raises(ConfigError):
+        idx.search_device(jnp.asarray(queries[:4]), 5, backend="decoded8")
+    with pytest.raises(ConfigError):
+        idx.search_device(jnp.asarray(queries[:4]), 5, backend="codes")

@@ -350,3 +350,85 @@ def test_fast4_low_bits_returns_results(sift_like):
     _, lg = idx.search(queries[:8], 5, backend="lut_gather")
     overlap = np.mean([len(set(l4[q]) & set(lg[q])) / 5 for q in range(8)])
     assert overlap >= 0.3, overlap
+
+
+def test_delete_codes_device_path(sift_like):
+    """VERDICT r2 #5: search_device(backend="codes") — the serving entry
+    point SearchServer(backend="codes") dispatches to — must exclude
+    tombstoned rows (it over-fetches k + #deleted and post-filters on
+    device; the reference compacts instead, BitVecEngine.cpp:1626-1636)."""
+    import jax.numpy as jnp
+
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    _, l0 = idx.search_device(jnp.asarray(queries[:4]), 5, backend="codes")
+    l0 = np.asarray(l0)
+    victims = [int(l0[0, 0]), int(l0[1, 0])]
+    idx.delete(victims)
+    d1, l1 = idx.search_device(jnp.asarray(queries[:4]), 5, backend="codes")
+    l1 = np.asarray(l1)
+    assert not np.isin(l1, victims).any()
+    assert (l1 >= 0).all() and np.isfinite(np.asarray(d1)).all()
+
+
+def test_serving_codes_backend_excludes_deleted(sift_like):
+    """End-to-end: a SearchServer(backend='codes') never serves deleted rows
+    (VERDICT r2 #5 'Done' criterion)."""
+    from vaq_tpu.serving import SearchServer
+
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    srv = SearchServer(idx, k=5, max_batch=16, backend="codes")
+    try:
+        _, i0 = srv.search(queries[0])
+        victim = int(i0[0, 0])
+        idx.delete(victim)
+        _, i1 = srv.search(queries[0])
+        assert victim not in i1[0]
+    finally:
+        srv.close()
+
+
+def test_explicit_backend_overrides_ivf(sift_like):
+    """VERDICT r2 weak #9: a concrete backend argument must win over the
+    TI flag + attached probe state; backend='ivf' forces the probe path;
+    backend='ivf' without state fails loudly."""
+    from vaq_tpu.errors import NotReadyError
+    from vaq_tpu.ivf import attach_ivf
+
+    base, queries, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,TI16var1")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    with pytest.raises(NotReadyError):
+        idx.search(queries[:2], 3, backend="ivf")
+    attach_ivf(idx)
+    calls = []
+    orig = idx.ivf.search
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    idx.ivf.search = spy
+    idx.search(queries[:4], 5)                      # auto + TI → probe path
+    assert calls
+    calls.clear()
+    _, ld = idx.search(queries[:4], 5, backend="decoded")
+    assert not calls, "explicit backend must skip the probe path"
+    idx.search(queries[:4], 5, backend="ivf")
+    assert calls
+
+
+def test_add_releases_sharded_buffers(sift_like):
+    """VERDICT r2 weak #5: add() must release the sharded device buffers,
+    not just the mesh handle."""
+    base, _, _ = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,SORT")
+    idx = VAQIndex(cfg).train(base[:2000]).encode(base[:2000])
+    idx.shard()
+    assert idx._sharded_decoded is not None
+    idx.add(base[2000:2050])
+    assert idx._mesh is None
+    assert idx._sharded_decoded is None and idx._sharded_norms is None

@@ -377,6 +377,9 @@ def decode_window_scan(
     assert h % 8 == 0, "decode table rows must be padded to a multiple of 8"
     cell_rows = W_PER_CELL * block_rows
     assert n % cell_rows == 0, "pad codes to a multiple of 8*block_rows"
+    # Mosaic requires the codes block's last dim (cell_rows) divisible by
+    # 128 → block_rows ≥ 16 when compiled (the interpreter doesn't check).
+    assert interpret or block_rows % 16 == 0, block_rows
     nblocks = n // block_rows
     ncells = n // cell_rows
     wr = block_rows

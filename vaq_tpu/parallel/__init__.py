@@ -9,6 +9,8 @@ all-gather — the partial-answer "ordered section" becomes an XLA collective.
 
 from vaq_tpu.parallel.mesh import make_mesh
 from vaq_tpu.parallel.sharded import (shard_codes, sharded_adc_search,
+                                      sharded_codes_search,
+                                      sharded_decoded8_search,
                                       sharded_decoded_search,
                                       sharded_exact_search)
 
@@ -16,6 +18,8 @@ __all__ = [
     "make_mesh",
     "shard_codes",
     "sharded_adc_search",
+    "sharded_codes_search",
+    "sharded_decoded8_search",
     "sharded_decoded_search",
     "sharded_exact_search",
 ]

@@ -157,6 +157,114 @@ def sharded_decoded_search(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "mesh", "exact", "recall_target", "q_axis",
+                     "db_axis"),
+)
+def sharded_decoded8_search(
+    decoded8: jnp.ndarray,
+    dim_scales: jnp.ndarray,
+    norms: jnp.ndarray,
+    qp: jnp.ndarray,
+    k: int,
+    n_total: jnp.ndarray,
+    mesh: Mesh,
+    exact: bool = False,
+    recall_target: float = 0.99,
+    q_axis: Optional[str] = None,
+    db_axis: str = "db",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded int8 capacity tier (VERDICT r2 #4): the (D, n) transposed int8
+    rows are column-sharded over the db axis (the row axis of the database),
+    per-dim scales and queries replicated (or q-sharded), per-shard
+    ``decoded8_scan_topk`` + the k-row all_gather merge. This is the tier
+    that actually *needs* a pod — 128 B/row serves ~100M rows/chip; sharding
+    extends it linearly (the disk-resident blueprint,
+    BitVecEngine.cpp:1441-1624, with chunks = shards)."""
+    n_pad = decoded8.shape[1]
+    nshards = mesh.shape[db_axis]
+    shard_rows = n_pad // nshards
+
+    q_spec = P(q_axis, None) if q_axis else P(None, None)
+    out_spec = (P(q_axis, None) if q_axis else P(None, None),) * 2
+
+    def local(d8_l, scales_l, norms_l, qp_l, n_total_l):
+        sidx = jax.lax.axis_index(db_axis)
+        base = sidx * shard_rows
+        n_valid_local = jnp.clip(n_total_l - base, 0, shard_rows)
+        d, i = scan_decoded.decoded8_scan_topk(
+            d8_l, scales_l, norms_l, d8_l, qp_l, k,
+            n_valid=n_valid_local.astype(jnp.int32),
+            exact=exact, recall_target=recall_target)
+        gi = jnp.where(i >= 0, i + base, -1)
+        d = jnp.where(i >= 0, d, jnp.inf)
+        return _local_topk_merge(d, gi, k, db_axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, db_axis), P(None), P(db_axis), q_spec, P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )(decoded8, dim_scales, norms, qp, n_total)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "mesh", "block_rows", "interpret", "q_axis",
+                     "db_axis"),
+)
+def sharded_codes_search(
+    codes_t: jnp.ndarray,
+    dec_table: jnp.ndarray,
+    rows_f32: jnp.ndarray,
+    qp: jnp.ndarray,
+    k: int,
+    n_total: jnp.ndarray,
+    mesh: Mesh,
+    block_rows: int = 512,
+    interpret: bool = False,
+    q_axis: Optional[str] = None,
+    db_axis: str = "db",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded codes-resident tier (VERDICT r2 #4): the (M, n) transposed u8
+    codes are column-sharded over the db axis, the packed decode table +
+    rescore rows replicated (tiny — C rows of d floats), per-shard
+    decode-then-dot Pallas scan + the k-row all_gather merge. At 32 B/row
+    this is the billion-row tier: a v5e-256 pod holds ~100B rows of
+    256-bit codes."""
+    n_pad = codes_t.shape[1]
+    nshards = mesh.shape[db_axis]
+    shard_rows = n_pad // nshards
+
+    from vaq_tpu.ops import scan_pallas
+
+    q_spec = P(q_axis, None) if q_axis else P(None, None)
+    out_spec = (P(q_axis, None) if q_axis else P(None, None),) * 2
+
+    def local(codes_l, table_l, rows_l, qp_l, n_total_l):
+        sidx = jax.lax.axis_index(db_axis)
+        base = sidx * shard_rows
+        n_valid_local = jnp.clip(n_total_l - base, 0, shard_rows)
+        d, i = scan_pallas.decode_scan_topk(
+            codes_l, table_l, rows_l, qp_l, k,
+            n_valid=n_valid_local.astype(jnp.int32),
+            block_rows=block_rows, interpret=interpret)
+        gi = jnp.where(i >= 0, i + base, -1)
+        d = jnp.where(i >= 0, d, jnp.inf)
+        return _local_topk_merge(d, gi, k, db_axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, db_axis), P(None, None), P(None, None), q_spec,
+                  P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )(codes_t, dec_table, rows_f32, qp, n_total)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "mesh", "block_rows", "q_axis", "db_axis"),
 )
 def sharded_exact_search(
