@@ -65,6 +65,12 @@ class LatencyStats:
     _first_t: float = 0.0
     _last_t: float = 0.0
 
+    def reset(self) -> None:
+        """Clear samples (e.g. between offered-load sweep points)."""
+        self.samples.clear()
+        self.queries = 0
+        self._first_t = self._last_t = 0.0
+
     def record(self, seconds: float, n_queries: int = 1) -> None:
         now = time.perf_counter()
         if not self.samples:
