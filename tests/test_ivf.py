@@ -32,11 +32,11 @@ def test_ivf_state_shapes(ti_index):
     assert len(valid) == base.shape[0]
     assert len(np.unique(valid)) == base.shape[0]
     # capacity bounding keeps bucket padding waste controlled (cap is
-    # rounded up to a multiple of 32 for the group-max scan)
+    # rounded up to the Pallas group-min kernel's 512-row tile)
     cap_bound = max(np.asarray(st.sizes).max(),
                     int(np.ceil(1.5 * base.shape[0] / 32)))
-    assert st.cap <= -(-cap_bound // 32) * 32
-    assert st.cap % 32 == 0
+    assert st.cap <= -(-cap_bound // 512) * 512
+    assert st.cap % 512 == 0
     np.testing.assert_array_equal(np.asarray(st.sizes),
                                   (ids >= 0).sum(axis=1))
 

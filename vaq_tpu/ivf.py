@@ -41,6 +41,7 @@ import numpy as np
 from vaq_tpu import kmeans
 from vaq_tpu.errors import ConfigError
 from vaq_tpu.ops import probe as probe_ops
+from vaq_tpu.ops import probe_pallas
 
 
 @dataclasses.dataclass
@@ -51,7 +52,8 @@ class IVFState:
     seg_dims: int                # prefix dims used for cluster distances
     cap: int                     # rows per bucket (padded)
     # Device arrays:
-    bucket_rows: jnp.ndarray     # (ncl, cap, D) bf16 decoded rows
+    bucket_rows: jnp.ndarray     # (ncl, cap, D) bf16 decoded rows; padding
+    #                              and deleted slots hold 1e15 sentinels
     bucket_norms: jnp.ndarray    # (ncl, cap) f32 (+inf padding)
     bucket_ids: jnp.ndarray      # (ncl, cap) i32 (-1 padding)
     sizes: jnp.ndarray           # (ncl,) i32 live member counts
@@ -169,9 +171,9 @@ def build_ivf(index, verbose: bool = False,
             assign[spill] = slots[: spill.size]
     sizes = np.bincount(assign, minlength=ncl)
     cap = int(max(cap, sizes.max()))
-    cap = -(-cap // 32) * 32   # multiple of 32 so the group-max scan can
-    #                            pick gs ∈ {8, 16, 32} (padding rows carry
-    #                            +inf norms → -inf scores, never selected)
+    cap = -(-cap // 512) * 512  # multiple of the Pallas kernel's 512-row
+    #                             tile (padding slots carry sentinel rows —
+    #                             clamped to SENTINEL_DIST, never winners)
     if verbose:
         print(f"== ivf: {ncl} clusters, seg_dims={seg_dims}, cap={cap}, "
               f"sizes min/mean/max = {sizes.min()}/{sizes.mean():.0f}/"
@@ -190,12 +192,17 @@ def build_ivf(index, verbose: bool = False,
 
     bids_dev = jnp.asarray(bids)
     safe = jnp.maximum(bids_dev, 0).reshape(-1)
-    rows_dev = dec_dev[safe].reshape(ncl, cap, d_full)
     bnorms = jnp.where(bids_dev >= 0,
                        norms_dev[safe].reshape(ncl, cap), jnp.inf)
     # rows deleted before the build carry +inf norms; exclude them from the
-    # live member counts the visit rule uses
-    live = jnp.isfinite(bnorms).sum(axis=1).astype(jnp.int32)
+    # live member counts the visit rule uses, and overwrite their bucket
+    # rows (and padding slots) with the kernel's sentinel value so the
+    # group-argmin scan can never select them
+    live = jnp.isfinite(bnorms)
+    rows_dev = jnp.where(
+        live[:, :, None], dec_dev[safe].reshape(ncl, cap, d_full),
+        jnp.asarray(1e15, dec_dev.dtype))
+    live = live.sum(axis=1).astype(jnp.int32)
 
     return IVFState(
         centroids=cents,
@@ -209,49 +216,54 @@ def build_ivf(index, verbose: bool = False,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "p_visit", "p_max", "qcap", "exact", "cb", "gs", "m_groups"))
+    "k", "p_visit", "p_max", "qcap", "exact", "gs", "rt", "interpret"))
 def probe_scan(
     qp: jnp.ndarray,           # (nq, D) projected queries
     centroids: jnp.ndarray,    # (ncl, seg_dims)
-    bucket_rows: jnp.ndarray,  # (ncl, cap, D) bf16
-    bucket_norms: jnp.ndarray,  # (ncl, cap)
-    bucket_ids: jnp.ndarray,    # (ncl, cap)
-    sizes: jnp.ndarray,         # (ncl,)
-    db_rows: jnp.ndarray,       # (n, D) bf16 flat decoded DB (rescore)
-    db_norms: jnp.ndarray,      # (n,) f32
+    bucket_rows: jnp.ndarray,  # (ncl, cap, D) bf16 (sentinel-padded)
+    bucket_norms: jnp.ndarray,  # (ncl, cap) f32 (+inf padding/deleted)
+    bucket_ids: jnp.ndarray,    # (ncl, cap) i32 (-1 padding)
+    sizes: jnp.ndarray,         # (ncl,) live member counts
     k: int,
     p_visit: int,
     p_max: int,
     qcap: int,
     exact: bool = True,
-    cb: int = 128,
     gs: int = 16,
-    m_groups: int = 24,
+    rt: int = 512,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused dispatch: probe → dispatch → blocked batched scoring with a
-    **group-max prefilter** → per-query group merge → exact rescore.
+    """One fused dispatch: probe → MoE dispatch → Pallas group-argmin scan →
+    per-query window merge → block rescore of the winner windows.
 
-    Scores are the centered monotone ``2·q·x − ‖x‖² − ‖q‖² = −d²`` so the
-    bf16 materialization keeps full relative precision on the ranking
-    quantity (a plain ``2qx − ‖x‖²`` is ≈ ``+‖q‖²`` and bf16 cancellation
-    wipes the signal — measured recall 0.32 → 0.25 at 1M).
+    Round-3 redesign (VERDICT r2 #1, per-stage bisection in BASELINE.md):
+    the scoring kernel (``ops/probe_pallas.groupmin_window_scan``) reduces
+    every gs-row group to one packed (min distance | argmin row) int32 in
+    VMEM, so nothing row-shaped ever hits HBM; the merge gathers each
+    query's probed group minima as flat rows and takes the best m = 2k
+    windows; the rescore reads those windows' full gs-row blocks back from
+    the bucket-resident arrays — contiguous slabs, not the old path's
+    scattered single-row gather from the flat DB (which, together with the
+    (cb, qcap, cap) f32 HBM intermediate and per-(cluster, slot) ``top_k``,
+    made up ~16 ms of the 23 ms batch at 1M).
 
-    The prefilter reduces each ``gs``-row group to its max score inside the
-    matmul epilogue (gs× less HBM than materializing row scores — the r1
-    kernel's dominant cost) and is *lossless* for coverage: a group holding
-    one of a query's true top-k rows has max ≥ that row's score, while any
-    group holding none has max < the k-th best score, so every true top-k
-    row lives in the top-k groups. With ``m_groups ≥ k`` the merged group
-    set covers the exact probed-set top-k and the rescore recovers exact
-    distances (``exact=True`` makes every top-k step a full sort; ties at
-    the k-th boundary are the only divergence). Replaces the reference's
-    per-row triangle-inequality break (VAQ.cpp:1540-1692) wholesale.
+    Window-rescore correctness: a gs-row group containing any true top-k row
+    has group-min ≤ d_k, and at most k groups can have group-min ≤ d_k (any
+    such group's argmin is itself a top-k row) — so the top m = 2k windows
+    provably contain every group holding a top-k row, and rescoring their
+    full blocks recovers neighbors that are DENSE within one bucket (the
+    common IVF case a one-candidate-per-group reduction loses; measured
+    0.39 vs 0.90 recall on the 4k-row fixture before this fix). Remaining
+    approximation: bf16 scoring ties and the visit budget itself — the same
+    contract as the reference's TI break (VAQ.cpp:1548-1551). Deleted rows
+    carry +inf bucket_norms and sentinel bucket rows, so they rescore to
+    +inf and are filtered exactly (BitVecEngine.cpp:1626-1636 semantics).
     """
     nq, d_full = qp.shape
-    ncl, cap = bucket_norms.shape
+    ncl, cap = bucket_ids.shape
     ng = cap // gs
-    if ng * gs != cap:
-        raise ValueError(f"bucket capacity {cap} not a multiple of gs={gs}")
+    if ng * gs != cap or cap % rt or rt % gs:
+        raise ValueError(f"cap {cap} not tileable by rt={rt}, gs={gs}")
     qcap = min(qcap, nq)
 
     cd = probe_ops.cluster_sq_dists(qp[:, : centroids.shape[1]], centroids)
@@ -260,64 +272,63 @@ def probe_scan(
                                                        qcap)
     qp_pad = jnp.concatenate(
         [qp, jnp.zeros((1, d_full), qp.dtype)], axis=0)
-    qsl = qp_pad[table].astype(jnp.bfloat16)               # (ncl, qcap, D)
-    qn = jnp.sum(qp * qp, axis=1)
-    qn_sl = jnp.concatenate([qn, jnp.zeros((1,), qn.dtype)])[table]
+    # −2 pre-scale: the kernel's epilogue is VPU-pass-bound, so the distance
+    # multiply is folded into the query slab here (see _groupmin_kernel)
+    qsl = (-2.0 * qp_pad)[table].astype(jnp.bfloat16)      # (ncl, qcap, D)
+    qcap_p = -(-qcap // 128) * 128                         # kernel lane tile
+    if qcap_p != qcap:
+        qsl = jnp.pad(qsl, ((0, 0), (0, qcap_p - qcap), (0, 0)))
 
-    padc = (-ncl) % cb
-    rows_p = jnp.pad(bucket_rows, ((0, padc), (0, 0), (0, 0)))
-    norms_p = jnp.pad(bucket_norms, ((0, padc), (0, 0)),
-                      constant_values=jnp.inf)
-    qsl_p = jnp.pad(qsl, ((0, padc), (0, 0), (0, 0)))
-    qn_p = jnp.pad(qn_sl, ((0, padc), (0, 0)))
-    nb = (ncl + padc) // cb
-    kk = min(k, ng)
+    packed = probe_pallas.groupmin_window_scan(
+        qsl, bucket_rows.reshape(ncl * cap, d_full),
+        bucket_norms.reshape(ncl * cap), ncl, cap, gs=gs, rt=rt,
+        interpret=interpret)                               # (ncl, ng, qcap_p)
 
-    def one(b):
-        rows_b = jax.lax.dynamic_slice_in_dim(rows_p, b * cb, cb, 0)
-        norms_b = jax.lax.dynamic_slice_in_dim(norms_p, b * cb, cb, 0)
-        q_b = jax.lax.dynamic_slice_in_dim(qsl_p, b * cb, cb, 0)
-        qn_b = jax.lax.dynamic_slice_in_dim(qn_p, b * cb, cb, 0)
-        inner = jnp.einsum("bqd,bcd->bqc", q_b, rows_b,
-                           preferred_element_type=jnp.float32)
-        s = 2.0 * inner - norms_b[:, None, :] - qn_b[:, :, None]
-        g = jnp.max(s.reshape(cb, qcap, ng, gs), axis=3).astype(jnp.bfloat16)
-        flat = g.reshape(cb * qcap, ng)
-        if exact:
-            v, p = jax.lax.top_k(flat, kk)
-        else:
-            v, p = jax.lax.approx_max_k(flat, kk, recall_target=0.95)
-        return (v.reshape(cb, qcap, kk),
-                p.astype(jnp.int32).reshape(cb, qcap, kk))
+    # per-query window merge: flat row gather of each dispatched entry's
+    # group minima, then top-m windows by the packed float view
+    flat = packed.transpose(0, 2, 1).reshape(ncl * qcap_p, ng)
+    inf_bits = jnp.int32(0x7F800000)                       # +inf, idx = 0
+    cand = jnp.where(ok[:, None], flat[ent_c * qcap_p + ent_r], inf_bits)
+    cand = cand.reshape(nq, p_max * ng)
+    f = jax.lax.bitcast_convert_type(cand, jnp.float32)
+    m = min(max(2 * k, 16), p_max * ng)
+    if exact or p_max * ng < 1024:
+        _, pos = jax.lax.top_k(-f, m)
+    else:
+        _, pos = jax.lax.approx_max_k(-f, m, recall_target=0.95)
+        pos = pos.astype(jnp.int32)
+    wp = jnp.take_along_axis(cand, pos, axis=1)            # (nq, m)
+    wf = jax.lax.bitcast_convert_type(wp & ~(gs - 1), jnp.float32)
+    w_ok = wf < probe_pallas.SENTINEL_DIST                 # dispatched + live
+    p_slot = pos // ng
+    g_idx = pos % ng
+    clus = jnp.take_along_axis(probe, p_slot, axis=1)
+    wblk = clus * ng + g_idx                               # (nq, m) block ids
 
-    vals, pos = jax.lax.map(one, jnp.arange(nb))
-    vals = vals.reshape(-1, qcap, kk)[:ncl]
-    pos = pos.reshape(-1, qcap, kk)[:ncl]
-
-    # per-query merge: flat 1-D row gathers (2-D fancy indices lowered to a
-    # ~12 ms gather on the chip; flat rows ~2 ms)
-    flat_idx = ent_c * qcap + ent_r
-    cand_v = jnp.where(ok[:, None],
-                       vals.reshape(ncl * qcap, kk)[flat_idx]
-                       .astype(jnp.float32), -jnp.inf)
-    cand_g = pos.reshape(ncl * qcap, kk)[flat_idx] + ent_c[:, None] * ng
-    cand_v = cand_v.reshape(nq, -1)
-    cand_g = cand_g.reshape(nq, -1)
-    m = min(max(m_groups, k), cand_v.shape[1])
-    _, posm = jax.lax.top_k(cand_v, m)
-    win_g = jnp.take_along_axis(cand_g, posm, axis=1)      # (nq, m)
-
-    # expand winning groups to rows; rescore exactly against the flat DB
-    row_idx = win_g[:, :, None] * gs + jnp.arange(gs)[None, None, :]
-    ids = bucket_ids.reshape(-1)[row_idx.reshape(nq, m * gs)]
-    safe = jnp.maximum(ids, 0)
-    inner = jnp.einsum("qd,qmd->qm", qp.astype(jnp.bfloat16), db_rows[safe],
+    # block rescore: gather the winner windows' full gs-row slabs from the
+    # bucket-resident arrays (contiguous gs·D·2-byte blocks — the slab shape
+    # is what makes this gather ~4× cheaper than m·gs scattered rows).
+    # NOTE: do NOT "flatten" these to (ncl·ng, gs·d) row gathers — that
+    # reshape retiles the whole bucket array (measured +10 ms at 10M).
+    blk_rows = bucket_rows.reshape(ncl * ng, gs, d_full)[wblk]
+    blk_norms = bucket_norms.reshape(ncl * ng, gs)[wblk]   # (nq, m, gs)
+    blk_ids = bucket_ids.reshape(ncl * ng, gs)[wblk]
+    inner = jnp.einsum("qd,qmgd->qmg", qp.astype(jnp.bfloat16), blk_rows,
                        preferred_element_type=jnp.float32)
-    score = jnp.where(ids >= 0, 2.0 * inner - db_norms[safe], -jnp.inf)
-    top_s, post = jax.lax.top_k(score, k)
-    top_i = jnp.take_along_axis(ids, post, axis=1)
+    score = jnp.where(w_ok[:, :, None], 2.0 * inner - blk_norms, -jnp.inf)
+    score = score.reshape(nq, m * gs)
+    rows = blk_ids.reshape(nq, m * gs)
+    qn = jnp.sum(qp * qp, axis=1)
+    kk = min(k, m * gs)
+    top_s, post = jax.lax.top_k(score, kk)                 # k ≤ 2k·gs = m·gs
+    top_i = jnp.take_along_axis(rows, post, axis=1)
+    if kk < k:
+        top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)),
+                        constant_values=-jnp.inf)
+        top_i = jnp.pad(top_i, ((0, 0), (0, k - kk)), constant_values=-1)
     d2 = jnp.maximum(qn[:, None] - top_s, 0.0)
-    return jnp.where(top_i >= 0, d2, jnp.inf), top_i
+    fin = jnp.isfinite(top_s)
+    return jnp.where(fin, d2, jnp.inf), jnp.where(fin, top_i, -1)
 
 
 class IVFSearcher:
@@ -331,24 +342,36 @@ class IVFSearcher:
         return np.asarray(self.state.sizes)
 
     def params(self, k: int, nq: int) -> Tuple[int, int, int, int, int]:
-        """(p_visit, p_max, qcap, cb, gs) — static shapes for this (k, nq)."""
+        """(p_visit, p_max, qcap, gs, rt) — static shapes for this (k, nq)."""
         st = self.state
         ncl = st.ncl
         p_visit = max(1, int(np.ceil(self.visit * ncl)))
         # worst case over probe sets: smallest clusters first
-        cum = np.cumsum(np.sort(self._sizes_np()))
+        sizes = self._sizes_np()
+        cum = np.cumsum(np.sort(sizes))
         p_floor = int(np.searchsorted(cum, k) + 1)
         p_max = min(ncl, max(p_visit, p_floor))
+        # group size trades the kernel's packed-output traffic
+        # (ncl·cap/gs·qcap·4 B) against the block rescore (2k·gs rows/query);
+        # correctness is gs-independent (window rescore, see probe_scan), so
+        # scale gs ∝ cap and clamp to the packing's [8, 64] range
+        gs = 8
+        while gs < 64 and st.cap // gs > 480:
+            gs *= 2
         # Small batches get strict capacity (qcap = nq: no entry can ever
         # drop); large throughput batches use ~2× mean-demand slack, where
         # drops require pathologically correlated queries (documented in
         # ops/probe.py).
         qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl)
-        # block size: keep the worst-case f32 score intermediate ≤ ~1 GB in
-        # case the group-max epilogue fusion ever fails to elide it
-        cb = min(ncl, max(1, (1 << 28) // max(4 * qcap * st.cap, 1)))
-        gs = next(g for g in (16, 8, 4, 2, 1) if st.cap % g == 0)
-        return p_visit, p_max, qcap, cb, gs
+        # Row tile: as large as the VMEM budget allows (~4 MB of bf16 rows
+        # double-buffered). Small tiles multiply grid steps — rt=512 at the
+        # 10M shapes meant 30k steps whose fixed per-step cost dominated the
+        # kernel (17.8 ms vs a ~6 ms roofline).
+        d_full = st.bucket_rows.shape[2]
+        budget = max(512, (4 << 20) // (2 * d_full) // 512 * 512)
+        rt = max(g for g in range(512, st.cap + 1, 512)
+                 if st.cap % g == 0 and g % gs == 0 and g <= budget)
+        return p_visit, p_max, qcap, gs, rt
 
     def probes(self, k: int) -> int:
         """Static probe count (legacy accessor used by tests/tools)."""
@@ -358,13 +381,12 @@ class IVFSearcher:
                exact: bool = True):
         st = self.state
         qp = jnp.asarray(qp)
-        p_visit, p_max, qcap, cb, gs = self.params(k, qp.shape[0])
-        index._ensure_decoded()
+        p_visit, p_max, qcap, gs, rt = self.params(k, qp.shape[0])
+        interpret = jax.default_backend() != "tpu"
         return probe_scan(qp, jnp.asarray(st.centroids), st.bucket_rows,
                           st.bucket_norms, st.bucket_ids, st.sizes,
-                          index.decoded, jnp.asarray(index.decoded_norms),
-                          k, p_visit, p_max, qcap, exact=exact, cb=cb,
-                          gs=gs)
+                          k, p_visit, p_max, qcap, exact=exact, gs=gs,
+                          rt=rt, interpret=interpret)
 
 
 def attach_ivf(index, verbose: bool = False,
