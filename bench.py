@@ -270,31 +270,37 @@ def second_scale_fields(args, cache_dir):
     fields["tenm_recall_at_k"] = round(rec_x, 4)
 
     # IVF cluster probe: one build, visit-fraction sweep (explicit params —
-    # no config mutation, VERDICT r2 weak #9)
-    visits = [float(v) for v in str(args.ivf_visit_10m).split(",")]
-    t0 = time.perf_counter()
-    state = build_ivf(idx, ti_cluster_num=args.ivf_clusters,
-                      ti_segment_num=16)
-    log(f"[{tag}] ivf build ({args.ivf_clusters} clusters): "
-        f"{time.perf_counter() - t0:.0f}s")
-    qp_b = pca.project(qb, idx.eigvecs, idx.total_dim)
-    qp_all = pca.project(queries, idx.eigvecs, idx.total_dim)
-    sweep = []
-    for visit in visits:
-        searcher = IVFSearcher(state, visit)
+    # no config mutation, VERDICT r2 weak #9). Guarded so an IVF failure
+    # cannot lose the codes/exhaustive fields already measured above.
+    try:
+        visits = [float(v) for v in str(args.ivf_visit_10m).split(",")]
+        t0 = time.perf_counter()
+        state = build_ivf(idx, ti_cluster_num=args.ivf_clusters,
+                          ti_segment_num=16)
+        log(f"[{tag}] ivf build ({args.ivf_clusters} clusters): "
+            f"{time.perf_counter() - t0:.0f}s")
+        qp_b = pca.project(qb, idx.eigvecs, idx.total_dim)
+        qp_all = pca.project(queries, idx.eigvecs, idx.total_dim)
+        sweep = []
+        for visit in visits:
+            searcher = IVFSearcher(state, visit)
 
-        def ivf_step(q, s=searcher):
-            eps = jnp.sum(q) * 1e-30
-            return s.search(idx, qp_b + eps, None, args.k, exact=False)
+            def ivf_step(q, s=searcher):
+                eps = jnp.sum(q) * 1e-30
+                return s.search(idx, qp_b + eps, None, args.k, exact=False)
 
-        v_qps, v_ms = measure_qps(ivf_step, qb, args.batch, iters_slow)
-        _, l_iv = searcher.search(idx, qp_all, None, args.k, exact=False)
-        v_rec = metrics.avg_recall(np.asarray(l_iv), gt, args.k)
-        sweep.append({"visit": visit, "qps": round(v_qps, 1),
-                      "ms": round(v_ms, 3), "recall_at_k": round(v_rec, 4)})
-        log(f"[{tag}] ivf QPS={v_qps:.1f} ({v_ms:.3f}ms/batch) "
-            f"recall@{args.k}={v_rec:.4f} (visit={visit})")
-    fields["tenm_ivf_sweep"] = sweep
+            v_qps, v_ms = measure_qps(ivf_step, qb, args.batch, iters_slow)
+            _, l_iv = searcher.search(idx, qp_all, None, args.k, exact=False)
+            v_rec = metrics.avg_recall(np.asarray(l_iv), gt, args.k)
+            sweep.append({"visit": visit, "qps": round(v_qps, 1),
+                          "ms": round(v_ms, 3),
+                          "recall_at_k": round(v_rec, 4)})
+            log(f"[{tag}] ivf QPS={v_qps:.1f} ({v_ms:.3f}ms/batch) "
+                f"recall@{args.k}={v_rec:.4f} (visit={visit})")
+        fields["tenm_ivf_sweep"] = sweep
+    except Exception as e:  # noqa: BLE001 — keep the fields measured above
+        log(f"[{tag}] ivf subsection failed: {e!r}")
+        fields["tenm_ivf_error"] = repr(e)
     return fields
 
 
@@ -426,30 +432,44 @@ def main():
     qps, batch_ms = headline_runs[-1]
     log(f"QPS={qps:.1f}  batch latency={batch_ms:.3f}ms (chained marginal)")
 
+    # Every section below is failure-isolated (VERDICT r3 #2: the r3 IVF
+    # kernel's lowering failure erased the whole round's bench because the
+    # 1M IVF section was unguarded): a section that throws contributes an
+    # ``<name>_error`` field instead of killing the JSON line.
+    def guarded(name, fn):
+        try:
+            return fn() or {}
+        except Exception as e:  # noqa: BLE001 — headline must survive
+            log(f"{name} section failed: {e!r}")
+            return {f"{name}_error": repr(e)}
+
     # On-hardware kernel equivalence gate (VERDICT r2 #7): compiled Mosaic
-    # vs interpreted lowering, bitwise.
+    # vs interpreted lowering.
     kernel_fields = {}
     if not args.no_kernel_check:
-        from vaq_tpu.ops.kernel_check import kernel_parity_fields
-        kernel_fields = kernel_parity_fields(idx, queries)
-        log(f"kernel parity: {kernel_fields}")
+        def kernel_section():
+            from vaq_tpu.ops.kernel_check import kernel_parity_fields
+            fields = kernel_parity_fields(idx, queries)
+            log(f"kernel parity: {fields}")
+            return fields
+
+        kernel_fields = guarded("kernel_parity", kernel_section)
 
     # Secondary backends at the same scale.
     def measure(step_fn, iters):
         return measure_qps(step_fn, qb_dev, args.batch, iters)
 
-    qps8 = ms8 = qps_h = ms_h = None
-    if not args.no_secondary:
+    def secondary_section():
         qps8, ms8 = measure(
             lambda q: idx.search_device(q, args.k, backend="decoded8"),
             args.iters)
         log(f"decoded8 QPS={qps8:.1f} ({ms8:.3f}ms/batch)")
 
-        from vaq_tpu.binary import BinaryIndex
+        from vaq_tpu.binary import (BinaryIndex, hamming_topk_matmul,
+                                    unpack_bits_01)
         bidx = BinaryIndex(bit_budget=256).train(
             base[: min(args.n, 200000)]).encode(base)
         b01, bpop = bidx.db01, bidx.db_pop
-        from vaq_tpu.binary import hamming_topk_matmul, unpack_bits_01
         qpk = jnp.asarray(unpack_bits_01(bidx.encode_queries(
             queries[: args.batch]), bidx.total_bits))
 
@@ -461,16 +481,19 @@ def main():
 
         qps_h, ms_h = measure(ham_step, args.iters)
         log(f"hamming QPS={qps_h:.1f} ({ms_h:.3f}ms/batch)")
-        # free the binary DB before the capacity/IVF sections (2.6 GB HBM
-        # at 10M rows; the later sections need the headroom)
-        del bidx, b01, bpop, qpk, ham_step
+        # the binary DB (2.6 GB HBM at 10M rows) dies with this scope; the
+        # later sections need the headroom
+        return {"decoded8_qps": round(qps8, 1),
+                "hamming_qps": round(qps_h, 1)}
+
+    secondary = {} if args.no_secondary else guarded("secondary",
+                                                     secondary_section)
 
     # Codes-resident capacity tier (VERDICT r1 #1): the decode-then-dot
     # Pallas kernel over the raw codes (32 B/row resident at this config) on
     # the headline index, plus the same tier on a <=4-bit FAST-config index
     # (the reference's FAST family constraint, VAQ.cpp:1263-1266).
-    lut_qps = lut_ms = codes_rec = fast4_qps = fast4_ms = fast4_rec = None
-    if not args.no_capacity:
+    def capacity_section():
         def codes_step(q):
             return idx.search_device(q, args.k, backend="codes")
 
@@ -500,14 +523,19 @@ def main():
         log(f"fast(codes tier, max4bit) QPS={fast4_qps:.1f} "
             f"({fast4_ms:.3f}ms/batch) recall@{args.k}={fast4_rec:.4f} "
             f"[{fast_cfg_s}]")
-        # release the FAST index before the IVF section builds its bucketed
-        # copy of the decoded DB
-        del fidx, fast_step, codes_step
+        # the FAST index dies with this scope, before the IVF section
+        # builds its bucketed copy of the decoded DB
+        return {"codes_qps": round(lut_qps, 1),
+                "codes_recall_at_k": round(codes_rec, 4),
+                "fast4_qps": round(fast4_qps, 1),
+                "fast4_recall_at_k": round(fast4_rec, 4)}
+
+    capacity = {} if args.no_capacity else guarded("capacity",
+                                                   capacity_section)
 
     # IVF cluster-probe tier (VERDICT r1 #3): visit fraction(s) vs
     # exhaustive, one IVF build shared across the sweep.
-    ivf_results = []
-    if not args.no_ivf:
+    def ivf_section():
         from vaq_tpu.ivf import IVFSearcher, build_ivf
 
         visits = [float(v) for v in str(args.ivf_visit).split(",")]
@@ -521,6 +549,7 @@ def main():
         from vaq_tpu import pca
         qp_dev = pca.project(qb_dev, idx.eigvecs, idx.total_dim)
         qp_all = pca.project(queries, idx.eigvecs, idx.total_dim)
+        ivf_results = []
         for visit in visits:
             searcher = IVFSearcher(state, visit)
 
@@ -538,25 +567,30 @@ def main():
                  "ms": round(v_ms, 3), "recall_at_k": round(v_rec, 4)})
             log(f"ivf QPS={v_qps:.1f} ({v_ms:.3f}ms/batch) "
                 f"recall@{args.k}={v_rec:.4f} (visit={visit})")
-        # free the bucketed DB copy before the serving/second-scale sections
-        state = searcher = ivf_step = None
-        idx.ivf = None
+        idx.ivf = None  # the bucketed DB copy dies with this scope
+        fields = {"ivf_qps": ivf_results[0]["qps"],
+                  "ivf_recall_at_k": ivf_results[0]["recall_at_k"],
+                  "ivf_visit": ivf_results[0]["visit"]}
+        if len(ivf_results) > 1:
+            fields["ivf_sweep"] = ivf_results
+        return fields
+
+    ivf_fields = {} if args.no_ivf else guarded("ivf", ivf_section)
 
     # Serving under continuous batching: offered-load sweep to the knee
     # (max sustained QPS), then p50/p95 at ~80% of it (VERDICT r2 #6).
     serving = {}
     if not args.no_serving:
-        serving = serving_knee_fields(args, idx, queries)
+        serving = guarded("serving",
+                          lambda: serving_knee_fields(args, idx, queries))
 
     # Engine-vs-oracle recall companion on a 100k slice (VERDICT r2 #9) —
     # local parity evidence while the C++ reference host is unavailable.
     oracle = {}
     if not args.no_oracle and args.oracle_n:
-        try:
-            oracle = oracle_fields(args, base, queries, cache_dir)
-        except Exception as e:  # noqa: BLE001 — companion, not headline
-            log(f"oracle section failed: {e!r}")
-            oracle = {"oracle_error": repr(e)}
+        oracle = guarded("oracle",
+                         lambda: oracle_fields(args, base, queries,
+                                               cache_dir))
 
     # Final headline re-measures (see above): median of 5 spread runs.
     headline_runs += [headline_once() for _ in range(3)]
@@ -599,20 +633,9 @@ def main():
         out["value_unstable"] = True
     out.update(kernel_fields)
     out.update(oracle)
-    if qps8 is not None:
-        out["decoded8_qps"] = round(qps8, 1)
-        out["hamming_qps"] = round(qps_h, 1)
-    if lut_qps is not None:
-        out["codes_qps"] = round(lut_qps, 1)
-        out["codes_recall_at_k"] = round(codes_rec, 4)
-        out["fast4_qps"] = round(fast4_qps, 1)
-        out["fast4_recall_at_k"] = round(fast4_rec, 4)
-    if ivf_results:
-        out["ivf_qps"] = ivf_results[0]["qps"]
-        out["ivf_recall_at_k"] = ivf_results[0]["recall_at_k"]
-        out["ivf_visit"] = ivf_results[0]["visit"]
-        if len(ivf_results) > 1:
-            out["ivf_sweep"] = ivf_results
+    out.update(secondary)
+    out.update(capacity)
+    out.update(ivf_fields)
     out.update(serving)
     if build_s is not None:
         out["build_s"] = round(build_s, 1)

@@ -1,16 +1,17 @@
-"""Per-stage timing bisection of the IVF probe path (VERDICT r2 #1).
+"""Per-stage timing bisection of the IVF probe path (VERDICT r2 #1 / r3 #4).
 
 Fabricates probe_scan's inputs at the bench shapes (timing depends only on
 shapes, not cluster quality) and times each stage with the chained-dependency
-methodology from bench.py. Round-3 edition: stages of the Pallas
-group-argmin design (see vaq_tpu/ops/probe_pallas.py). Run inside a
-long-lived REPL so kernel variants iterate without re-claiming the chip:
+methodology from bench.py. Round-4 edition: f32 group-min kernel, int8 or
+bf16 bucket rows (see vaq_tpu/ops/probe_pallas.py). Run inside a long-lived
+REPL so kernel variants iterate without re-claiming the chip:
 
     import ivf_bisect as b; st = b.make_state(10_000_000); b.run(st)
+    st8 = b.make_state(10_000_000, dtype="int8"); b.run(st8)
 
 Stages:
   probe    cluster dists + dynamic probe + dispatch table + qsl gather
-  kernel   the Pallas group-argmin scan alone
+  kernel   the Pallas group-min scan alone
   merge    per-entry window gather + per-query top-m windows
   rescore  winner-window gs-row block gather + rescore + final top-k
   full     the whole probe_scan
@@ -60,27 +61,38 @@ class State:
 
 
 def make_state(n=10_000_000, d=128, ncl=1000, nq=1024, k=10, visit=0.05,
-               seed=0):
+               seed=0, dtype="int8", cap_factor=1.5):
     """Fabricated IVF buckets + queries at the bench shapes."""
     st = State()
     st.n, st.d, st.ncl, st.nq, st.k, st.visit = n, d, ncl, nq, k, visit
+    st.dtype = dtype
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
 
-    cap = int(np.ceil(1.5 * n / ncl))
+    cap = int(np.ceil(cap_factor * n / ncl))
     cap = -(-cap // 512) * 512
     st.cap = cap
 
-    # db rows in bf16 (what _ensure_decoded holds), built chunkwise
+    # db rows built chunkwise (bf16 reconstruction or int8-quantized)
     rows = []
     chunk = 2_000_000
     for i in range(0, n, chunk):
         kk_ = jax.random.fold_in(k1, i)
-        rows.append(jax.random.normal(kk_, (min(chunk, n - i), d),
-                                      dtype=jnp.float32).astype(jnp.bfloat16))
+        blk = jax.random.normal(kk_, (min(chunk, n - i), d),
+                                dtype=jnp.float32)
+        if dtype == "int8":
+            rows.append(jnp.clip(jnp.round(blk * 32.0), -127,
+                                 127).astype(jnp.int8))
+        else:
+            rows.append(blk.astype(jnp.bfloat16))
     db_rows = jnp.concatenate(rows, axis=0)
     del rows
-    db_norms = jnp.sum(db_rows.astype(jnp.float32) ** 2, axis=1)
+    if dtype == "int8":
+        st.dim_scales = jnp.full((d,), 32.0, jnp.float32)
+        db_norms = jnp.sum((db_rows.astype(jnp.float32) / 32.0) ** 2, axis=1)
+    else:
+        st.dim_scales = None
+        db_norms = jnp.sum(db_rows.astype(jnp.float32) ** 2, axis=1)
 
     # random balanced-ish assignment -> bucket ids (host, vectorized)
     rng = np.random.default_rng(seed)
@@ -95,9 +107,10 @@ def make_state(n=10_000_000, d=128, ncl=1000, nq=1024, k=10, visit=0.05,
     st.bucket_ids = jnp.asarray(bids)
     safe = jnp.maximum(st.bucket_ids, 0).reshape(-1)
     live = (st.bucket_ids >= 0)
+    sentinel = jnp.int8(0) if dtype == "int8" else jnp.asarray(
+        1e15, db_rows.dtype)
     st.bucket_rows = jnp.where(
-        live[:, :, None], db_rows[safe].reshape(ncl, cap, d),
-        jnp.asarray(1e15, db_rows.dtype))
+        live[:, :, None], db_rows[safe].reshape(ncl, cap, d), sentinel)
     st.bucket_norms = jnp.where(live, db_norms[safe].reshape(ncl, cap),
                                 jnp.inf)
     st.sizes = live.sum(axis=1).astype(jnp.int32)
@@ -111,27 +124,30 @@ def make_state(n=10_000_000, d=128, ncl=1000, nq=1024, k=10, visit=0.05,
     state = IVFState(centroids=np.zeros((ncl, seg_dims), np.float32),
                      seg_dims=seg_dims, cap=cap, bucket_rows=st.bucket_rows,
                      bucket_norms=st.bucket_norms, bucket_ids=st.bucket_ids,
-                     sizes=st.sizes)
+                     sizes=st.sizes, dim_scales=st.dim_scales)
     st.p_visit, st.p_max, st.qcap, st.gs, st.rt = IVFSearcher(
         state, visit).params(k, nq)
     ng = cap // st.gs
-    log(f"state: n={n} cap={cap} p_max={st.p_max} qcap={st.qcap} "
-        f"gs={st.gs} rt={st.rt} "
-        f"bucket HBM={ncl * cap * d * 2 / 1e9:.2f} GB "
-        f"packed out={ncl * ng * (-(-min(st.qcap, nq) // 128) * 128) * 4 / 1e9:.2f} GB")
+    isz = st.bucket_rows.dtype.itemsize
+    log(f"state: n={n} cap={cap} dtype={dtype} p_max={st.p_max} "
+        f"qcap={st.qcap} gs={st.gs} rt={st.rt} "
+        f"bucket HBM={ncl * cap * d * isz / 1e9:.2f} GB "
+        f"mins out={ncl * ng * (-(-min(st.qcap, nq) // 128) * 128) * 4 / 1e9:.2f} GB")
     return st
 
 
 # ---------- stage functions (jitted separately) ----------
 
 @functools.partial(jax.jit, static_argnames=("k", "p_visit", "p_max", "qcap"))
-def stage_probe(qp, centroids, sizes, k, p_visit, p_max, qcap):
+def stage_probe(qp, centroids, sizes, dim_scales, k, p_visit, p_max, qcap):
     ncl = centroids.shape[0]
     cd = probe_ops.cluster_sq_dists(qp[:, : centroids.shape[1]], centroids)
     probe, active = probe_ops.dynamic_probe(cd, sizes, k, p_visit, p_max)
     table, ok, ent_c, ent_r = probe_ops.dispatch_table(probe, active, ncl,
                                                        qcap)
-    qp_pad = jnp.concatenate([qp, jnp.zeros((1, qp.shape[1]), qp.dtype)], 0)
+    q_eff = qp if dim_scales is None else qp / dim_scales[None, :]
+    qp_pad = jnp.concatenate(
+        [q_eff, jnp.zeros((1, qp.shape[1]), qp.dtype)], 0)
     qsl = (-2.0 * qp_pad)[table].astype(jnp.bfloat16)
     qcap_p = -(-qcap // 128) * 128
     if qcap_p != qcap:
@@ -141,38 +157,36 @@ def stage_probe(qp, centroids, sizes, k, p_visit, p_max, qcap):
 
 @functools.partial(jax.jit, static_argnames=("nq", "k", "p_max", "gs",
                                              "qcap_p", "exact"))
-def stage_merge(packed, probe, ok, ent_c, ent_r, nq, k, p_max, gs, qcap_p,
+def stage_merge(mins, probe, ok, ent_c, ent_r, nq, k, p_max, gs, qcap_p,
                 exact):
-    ncl, ng, _ = packed.shape
-    flat = packed.transpose(0, 2, 1).reshape(ncl * qcap_p, ng)
-    inf_bits = jnp.int32(0x7F800000)
-    cand = jnp.where(ok[:, None], flat[ent_c * qcap_p + ent_r], inf_bits)
+    ncl, ng, _ = mins.shape
+    flat = mins.transpose(0, 2, 1).reshape(ncl * qcap_p, ng)
+    cand = jnp.where(ok[:, None], flat[ent_c * qcap_p + ent_r], jnp.inf)
     cand = cand.reshape(nq, p_max * ng)
-    f = jax.lax.bitcast_convert_type(cand, jnp.float32)
     m = min(max(2 * k, 16), p_max * ng)
     if exact or p_max * ng < 1024:
-        _, pos = jax.lax.top_k(-f, m)
+        wd, pos = jax.lax.top_k(-cand, m)
     else:
-        _, pos = jax.lax.approx_max_k(-f, m, recall_target=0.95)
+        wd, pos = jax.lax.approx_max_k(-cand, m, recall_target=0.95)
         pos = pos.astype(jnp.int32)
-    wp = jnp.take_along_axis(cand, pos, axis=1)
-    wf = jax.lax.bitcast_convert_type(wp & ~(gs - 1), jnp.float32)
-    w_ok = wf < probe_pallas.SENTINEL_DIST
+    w_ok = jnp.isfinite(wd)
     clus = jnp.take_along_axis(probe, pos // ng, axis=1)
     wblk = clus * ng + pos % ng
     return wblk, w_ok
 
 
 @functools.partial(jax.jit, static_argnames=("k", "gs"))
-def stage_rescore(wblk, w_ok, qp, bucket_rows, bucket_norms, bucket_ids, k,
-                  gs):
+def stage_rescore(wblk, w_ok, qp, bucket_rows, bucket_norms, bucket_ids,
+                  dim_scales, k, gs):
     nq, m = wblk.shape
     ncl, cap, d = bucket_rows.shape
     ng = cap // gs
+    q_eff = qp if dim_scales is None else qp / dim_scales[None, :]
     blk_rows = bucket_rows.reshape(ncl * ng, gs, d)[wblk]
     blk_norms = bucket_norms.reshape(ncl * ng, gs)[wblk]
     blk_ids = bucket_ids.reshape(ncl * ng, gs)[wblk]
-    inner = jnp.einsum("qd,qmgd->qmg", qp.astype(jnp.bfloat16), blk_rows,
+    inner = jnp.einsum("qd,qmgd->qmg", q_eff.astype(jnp.bfloat16),
+                       blk_rows.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     score = jnp.where(w_ok[:, :, None], 2.0 * inner - blk_norms, -jnp.inf)
     score = score.reshape(nq, m * gs)
@@ -185,37 +199,40 @@ def stage_rescore(wblk, w_ok, qp, bucket_rows, bucket_norms, bucket_ids, k,
     return jnp.where(fin, d2, jnp.inf), jnp.where(fin, top_i, -1)
 
 
-def run(st, iters=8, exact=False):
+def run(st, iters=8, exact=False, gs=None, rt=None):
     res = {}
+    gs = gs or st.gs
+    rt = rt or st.rt
     qcap = min(st.qcap, st.nq)
     qcap_p = -(-qcap // 128) * 128
 
     def probe_fn(q):
-        return stage_probe(q, st.centroids, st.sizes, st.k, st.p_visit,
-                           st.p_max, qcap)
+        return stage_probe(q, st.centroids, st.sizes, st.dim_scales, st.k,
+                           st.p_visit, st.p_max, qcap)
 
     res["probe"] = t_ms(probe_fn, st.qp, iters)
     log(f"probe+dispatch+qsl: {res['probe']:.2f} ms")
 
     qsl, probe, ok, ent_c, ent_r = jax.block_until_ready(probe_fn(st.qp))
     flat_rows = st.bucket_rows.reshape(st.ncl * st.cap, st.d)
-    flat_norms = st.bucket_norms.reshape(st.ncl * st.cap)
+    dim_w = (jnp.ones((st.d,), jnp.float32) if st.dim_scales is None
+             else 1.0 / (st.dim_scales * st.dim_scales))
 
     def kernel_fn(q):
         eps = (jnp.sum(q) * 1e-30).astype(jnp.bfloat16)
         return probe_pallas.groupmin_window_scan(
-            qsl + eps, flat_rows, flat_norms, st.ncl, st.cap, gs=st.gs,
-            rt=st.rt)
+            qsl + eps, flat_rows, dim_w, st.ncl, st.cap, gs=gs,
+            rt=rt)
 
     res["kernel"] = t_ms(kernel_fn, st.qp, iters)
     log(f"pallas groupmin kernel: {res['kernel']:.2f} ms")
 
-    packed = jax.block_until_ready(kernel_fn(st.qp))
+    mins = jax.block_until_ready(kernel_fn(st.qp))
 
     def merge_fn(q):
-        eps = (jnp.sum(q) * 0).astype(jnp.int32)
-        return stage_merge(packed + eps, probe, ok, ent_c, ent_r, st.nq,
-                           st.k, st.p_max, st.gs, qcap_p, exact)
+        eps = (jnp.sum(q) * 0).astype(jnp.float32)
+        return stage_merge(mins + eps, probe, ok, ent_c, ent_r, st.nq,
+                           st.k, st.p_max, gs, qcap_p, exact)
 
     res["merge"] = t_ms(merge_fn, st.qp, iters)
     log(f"merge: {res['merge']:.2f} ms")
@@ -224,7 +241,7 @@ def run(st, iters=8, exact=False):
 
     def rescore_fn(q):
         return stage_rescore(wblk, w_ok, q, st.bucket_rows, st.bucket_norms,
-                             st.bucket_ids, st.k, st.gs)
+                             st.bucket_ids, st.dim_scales, st.k, gs)
 
     res["rescore"] = t_ms(rescore_fn, st.qp, iters)
     log(f"block rescore: {res['rescore']:.2f} ms")
@@ -232,7 +249,8 @@ def run(st, iters=8, exact=False):
     def full_fn(q):
         return probe_scan(q, st.centroids, st.bucket_rows, st.bucket_norms,
                           st.bucket_ids, st.sizes, st.k, st.p_visit,
-                          st.p_max, st.qcap, exact=exact, gs=st.gs, rt=st.rt)
+                          st.p_max, st.qcap, dim_scales=st.dim_scales,
+                          exact=exact, gs=gs, rt=rt)
 
     res["full"] = t_ms(full_fn, st.qp, iters)
     ssum = res["probe"] + res["kernel"] + res["merge"] + res["rescore"]
@@ -243,5 +261,6 @@ def run(st, iters=8, exact=False):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    st = make_state(n)
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "int8"
+    st = make_state(n, dtype=dtype)
     run(st)

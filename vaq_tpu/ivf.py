@@ -23,8 +23,12 @@ trades recall for scanned rows exactly as in the reference; the TI per-row
 break is replaced by not scanning unprobed clusters at all.
 
 Note on economics: on TPU the exhaustive fused scan is extremely
-matmul-friendly; probing wins for very large databases or strict latency
-targets (measured in bench.py --ivf at 10M rows).
+matmul-friendly, so probing must cut REAL work to win. The round-4 design
+does: int8 bucket rows (half the HBM stream), a group-min Pallas kernel
+whose epilogue computes norms in-kernel, bf16 window minima, and the
+window-block rescore — measured 91k QPS at 10M×128d vs 63k exhaustive
+(1.44×; `.scratch/repl4.out` E9). At 1M the exhaustive scan still wins
+(405k vs ~148k) — probing pays where the database dwarfs the query batch.
 """
 
 from __future__ import annotations
@@ -52,11 +56,16 @@ class IVFState:
     seg_dims: int                # prefix dims used for cluster distances
     cap: int                     # rows per bucket (padded)
     # Device arrays:
-    bucket_rows: jnp.ndarray     # (ncl, cap, D) bf16 decoded rows; padding
-    #                              and deleted slots hold 1e15 sentinels
-    bucket_norms: jnp.ndarray    # (ncl, cap) f32 (+inf padding)
+    bucket_rows: jnp.ndarray     # (ncl, cap, D) decoded rows — int8 (the
+    #                              default: per-dim scaled, HBM-roofline
+    #                              term halved vs bf16) or bf16; padding
+    #                              and deleted slots hold sentinels
+    bucket_norms: jnp.ndarray    # (ncl, cap) f32 (+inf padding/deleted):
+    #                              exact norms of the STORED reconstruction
     bucket_ids: jnp.ndarray      # (ncl, cap) i32 (-1 padding)
     sizes: jnp.ndarray           # (ncl,) i32 live member counts
+    dim_scales: Optional[jnp.ndarray] = None  # (D,) f32 for int8 rows:
+    #                              x̂ = bucket_rows / dim_scales
 
     @property
     def ncl(self) -> int:
@@ -77,7 +86,8 @@ def resolve_seg_num(cfg, cum_var_per_subs, highest_subs: int) -> int:
 def build_ivf(index, verbose: bool = False,
               balance_cap_factor: float = 1.5,
               ti_cluster_num: Optional[int] = None,
-              ti_segment_num: Optional[int] = None) -> IVFState:
+              ti_segment_num: Optional[int] = None,
+              rows_dtype: str = "int8") -> IVFState:
     """Cluster the decoded database and group rows into padded buckets.
 
     Mirrors clusterTI(useKMeans=True): k-means in decoded (reconstructed)
@@ -89,10 +99,19 @@ def build_ivf(index, verbose: bool = False,
     with space — so the static bucket capacity (and with it the batched
     scan's wasted work) stays bounded under k-means imbalance.
 
+    ``rows_dtype`` selects the bucket storage tier: "int8" (default —
+    per-dim scales as in the decoded8 tier, scan_decoded.decode_db_int8;
+    halves the probe kernel's HBM roofline term vs bf16 and makes 100M-row
+    buckets fit one chip) or "bf16" (the reconstruction the decoded tier
+    scans). Norms are always the exact f32 norms of the STORED rows, so
+    window ranking and the block rescore are exact for the chosen tier.
+
     ``ti_cluster_num``/``ti_segment_num`` override the config's TI fields
     when given, so benchmark/serving callers never have to mutate
     ``index.config`` to attach probe state (VERDICT r2 weak #9).
     """
+    if rows_dtype not in ("int8", "bf16"):
+        raise ConfigError(f"rows_dtype must be int8|bf16, got {rows_dtype}")
     cfg = index.config
     if ti_cluster_num is not None or ti_segment_num is not None:
         cfg = dataclasses.replace(
@@ -192,16 +211,55 @@ def build_ivf(index, verbose: bool = False,
 
     bids_dev = jnp.asarray(bids)
     safe = jnp.maximum(bids_dev, 0).reshape(-1)
-    bnorms = jnp.where(bids_dev >= 0,
-                       norms_dev[safe].reshape(ncl, cap), jnp.inf)
     # rows deleted before the build carry +inf norms; exclude them from the
-    # live member counts the visit rule uses, and overwrite their bucket
-    # rows (and padding slots) with the kernel's sentinel value so the
-    # group-argmin scan can never select them
-    live = jnp.isfinite(bnorms)
-    rows_dev = jnp.where(
-        live[:, :, None], dec_dev[safe].reshape(ncl, cap, d_full),
-        jnp.asarray(1e15, dec_dev.dtype))
+    # live member counts the visit rule uses, and poison their bucket norms
+    # so the group-min scan and block rescore can never select them
+    live = (bids_dev >= 0) & jnp.isfinite(norms_dev[safe].reshape(ncl, cap))
+    dim_scales = None
+    if rows_dtype == "int8":
+        # Per-dim int8 quantization with the same centroid-extrema scales as
+        # the decoded8 tier (scan_decoded.decode_db_int8): the flat (n, D)
+        # int8 staging array makes the bucket fill a plain row gather (a
+        # column gather from the transposed tiers forces a whole-array
+        # relayout copy — the decoded8 rescore hit exactly that).
+        cents_fin = np.where(np.abs(index.centroids) < 1e17,
+                             np.abs(index.centroids), 0.0)
+        dmax = cents_fin.max(axis=1).reshape(-1)[:d_full]    # (D,)
+        dim_scales = jnp.asarray(127.0 / np.maximum(dmax, 1e-30),
+                                 dtype=np.float32)
+        poison = jnp.asarray(probe_pallas.poison_pattern(d_full))
+
+        @jax.jit
+        def _quant_block(rows):
+            q8 = jnp.clip(jnp.round(rows.astype(jnp.float32)
+                                    * dim_scales[None, :]), -127, 127)
+            deq = q8 / dim_scales[None, :]
+            return q8.astype(jnp.int8), jnp.sum(deq * deq, axis=1)
+
+        blk = 1 << 21
+        flat8 = jnp.zeros((n, d_full), jnp.int8)
+        norms8 = jnp.zeros((n,), jnp.float32)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def _write(buf, nbuf, q8, nq8, start):
+            return (jax.lax.dynamic_update_slice(buf, q8, (start, 0)),
+                    jax.lax.dynamic_update_slice(nbuf, nq8, (start,)))
+
+        for start in range(0, n, blk):
+            q8, nq8 = _quant_block(dec_dev[start:start + blk])
+            flat8, norms8 = _write(flat8, norms8, q8, nq8, start)
+        # padding/deleted slots hold the max-norm POISON pattern (ranking
+        # guard; the rescore masks them exactly via the +inf norms below)
+        rows_dev = jnp.where(live[:, :, None],
+                             flat8[safe].reshape(ncl, cap, d_full),
+                             poison[None, None, :])
+        bnorms = jnp.where(live, norms8[safe].reshape(ncl, cap), jnp.inf)
+        del flat8, norms8
+    else:
+        rows_dev = jnp.where(
+            live[:, :, None], dec_dev[safe].reshape(ncl, cap, d_full),
+            jnp.asarray(1e15, dec_dev.dtype))
+        bnorms = jnp.where(live, norms_dev[safe].reshape(ncl, cap), jnp.inf)
     live = live.sum(axis=1).astype(jnp.int32)
 
     return IVFState(
@@ -212,6 +270,7 @@ def build_ivf(index, verbose: bool = False,
         bucket_norms=bnorms,
         bucket_ids=bids_dev,
         sizes=live,
+        dim_scales=dim_scales,
     )
 
 
@@ -220,7 +279,7 @@ def build_ivf(index, verbose: bool = False,
 def probe_scan(
     qp: jnp.ndarray,           # (nq, D) projected queries
     centroids: jnp.ndarray,    # (ncl, seg_dims)
-    bucket_rows: jnp.ndarray,  # (ncl, cap, D) bf16 (sentinel-padded)
+    bucket_rows: jnp.ndarray,  # (ncl, cap, D) int8|bf16 (sentinel-padded)
     bucket_norms: jnp.ndarray,  # (ncl, cap) f32 (+inf padding/deleted)
     bucket_ids: jnp.ndarray,    # (ncl, cap) i32 (-1 padding)
     sizes: jnp.ndarray,         # (ncl,) live member counts
@@ -228,24 +287,25 @@ def probe_scan(
     p_visit: int,
     p_max: int,
     qcap: int,
+    dim_scales: Optional[jnp.ndarray] = None,  # (D,) f32 for int8 rows
     exact: bool = True,
     gs: int = 16,
     rt: int = 512,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused dispatch: probe → MoE dispatch → Pallas group-argmin scan →
+    """One fused dispatch: probe → MoE dispatch → Pallas group-min scan →
     per-query window merge → block rescore of the winner windows.
 
-    Round-3 redesign (VERDICT r2 #1, per-stage bisection in BASELINE.md):
-    the scoring kernel (``ops/probe_pallas.groupmin_window_scan``) reduces
-    every gs-row group to one packed (min distance | argmin row) int32 in
-    VMEM, so nothing row-shaped ever hits HBM; the merge gathers each
-    query's probed group minima as flat rows and takes the best m = 2k
-    windows; the rescore reads those windows' full gs-row blocks back from
-    the bucket-resident arrays — contiguous slabs, not the old path's
-    scattered single-row gather from the flat DB (which, together with the
-    (cb, qcap, cap) f32 HBM intermediate and per-(cluster, slot) ``top_k``,
-    made up ~16 ms of the 23 ms batch at 1M).
+    Round-3/4 redesign (VERDICT r2 #1 / r3 #4, per-stage bisection in
+    BASELINE.md): the scoring kernel (``ops/probe_pallas``) reduces every
+    gs-row group to one f32 min distance in VMEM, so nothing row-shaped
+    ever hits HBM; the merge gathers each query's probed group minima as
+    flat rows and takes the best m = 2k windows; the rescore reads those
+    windows' full gs-row blocks back from the bucket-resident arrays —
+    contiguous slabs, not the old path's scattered single-row gather from
+    the flat DB. Int8 bucket rows fold their per-dim scales into the query
+    side exactly as the decoded8 tier does (scan_decoded.py:168), halving
+    the kernel's HBM roofline term.
 
     Window-rescore correctness: a gs-row group containing any true top-k row
     has group-min ≤ d_k, and at most k groups can have group-min ≤ d_k (any
@@ -254,10 +314,10 @@ def probe_scan(
     full blocks recovers neighbors that are DENSE within one bucket (the
     common IVF case a one-candidate-per-group reduction loses; measured
     0.39 vs 0.90 recall on the 4k-row fixture before this fix). Remaining
-    approximation: bf16 scoring ties and the visit budget itself — the same
-    contract as the reference's TI break (VAQ.cpp:1548-1551). Deleted rows
-    carry +inf bucket_norms and sentinel bucket rows, so they rescore to
-    +inf and are filtered exactly (BitVecEngine.cpp:1626-1636 semantics).
+    approximation: bf16/int8 scoring ties and the visit budget itself — the
+    same contract as the reference's TI break (VAQ.cpp:1548-1551). Deleted
+    rows carry +inf bucket_norms, so they rescore to −inf score and are
+    filtered exactly (BitVecEngine.cpp:1626-1636 semantics).
     """
     nq, d_full = qp.shape
     ncl, cap = bucket_ids.shape
@@ -265,13 +325,19 @@ def probe_scan(
     if ng * gs != cap or cap % rt or rt % gs:
         raise ValueError(f"cap {cap} not tileable by rt={rt}, gs={gs}")
     qcap = min(qcap, nq)
+    if (bucket_rows.dtype == jnp.int8) != (dim_scales is not None):
+        raise ValueError("int8 bucket rows require dim_scales (and only "
+                         "they do)")
 
     cd = probe_ops.cluster_sq_dists(qp[:, : centroids.shape[1]], centroids)
     probe, active = probe_ops.dynamic_probe(cd, sizes, k, p_visit, p_max)
     table, ok, ent_c, ent_r = probe_ops.dispatch_table(probe, active, ncl,
                                                        qcap)
+    # Fold the int8 per-dim scales into the query BEFORE the dispatch
+    # gather, so dot(rows_i8, q_folded) = q·(rows/scales) = q·x̂.
+    q_eff = qp if dim_scales is None else qp / dim_scales[None, :]
     qp_pad = jnp.concatenate(
-        [qp, jnp.zeros((1, d_full), qp.dtype)], axis=0)
+        [q_eff, jnp.zeros((1, d_full), qp.dtype)], axis=0)
     # −2 pre-scale: the kernel's epilogue is VPU-pass-bound, so the distance
     # multiply is folded into the query slab here (see _groupmin_kernel)
     qsl = (-2.0 * qp_pad)[table].astype(jnp.bfloat16)      # (ncl, qcap, D)
@@ -279,41 +345,43 @@ def probe_scan(
     if qcap_p != qcap:
         qsl = jnp.pad(qsl, ((0, 0), (0, qcap_p - qcap), (0, 0)))
 
-    packed = probe_pallas.groupmin_window_scan(
+    # per-dim norm weights: ‖x̂‖² = Σ rows²·w in-kernel (w = 1/scales² for
+    # int8 rows, ones for bf16 — see probe_pallas module docstring)
+    dim_w = (jnp.ones((d_full,), jnp.float32) if dim_scales is None
+             else 1.0 / (dim_scales * dim_scales))
+    mins = probe_pallas.groupmin_window_scan(
         qsl, bucket_rows.reshape(ncl * cap, d_full),
-        bucket_norms.reshape(ncl * cap), ncl, cap, gs=gs, rt=rt,
+        dim_w, ncl, cap, gs=gs, rt=rt,
         interpret=interpret)                               # (ncl, ng, qcap_p)
 
     # per-query window merge: flat row gather of each dispatched entry's
-    # group minima, then top-m windows by the packed float view
-    flat = packed.transpose(0, 2, 1).reshape(ncl * qcap_p, ng)
-    inf_bits = jnp.int32(0x7F800000)                       # +inf, idx = 0
-    cand = jnp.where(ok[:, None], flat[ent_c * qcap_p + ent_r], inf_bits)
+    # group minima, then top-m windows
+    flat = mins.transpose(0, 2, 1).reshape(ncl * qcap_p, ng)
+    cand = jnp.where(ok[:, None], flat[ent_c * qcap_p + ent_r], jnp.inf)
     cand = cand.reshape(nq, p_max * ng)
-    f = jax.lax.bitcast_convert_type(cand, jnp.float32)
     m = min(max(2 * k, 16), p_max * ng)
     if exact or p_max * ng < 1024:
-        _, pos = jax.lax.top_k(-f, m)
+        wd, pos = jax.lax.top_k(-cand, m)
     else:
-        _, pos = jax.lax.approx_max_k(-f, m, recall_target=0.95)
+        wd, pos = jax.lax.approx_max_k(-cand, m, recall_target=0.95)
         pos = pos.astype(jnp.int32)
-    wp = jnp.take_along_axis(cand, pos, axis=1)            # (nq, m)
-    wf = jax.lax.bitcast_convert_type(wp & ~(gs - 1), jnp.float32)
-    w_ok = wf < probe_pallas.SENTINEL_DIST                 # dispatched + live
+    w_ok = jnp.isfinite(wd)                                # dispatched + live
     p_slot = pos // ng
     g_idx = pos % ng
     clus = jnp.take_along_axis(probe, p_slot, axis=1)
     wblk = clus * ng + g_idx                               # (nq, m) block ids
 
     # block rescore: gather the winner windows' full gs-row slabs from the
-    # bucket-resident arrays (contiguous gs·D·2-byte blocks — the slab shape
-    # is what makes this gather ~4× cheaper than m·gs scattered rows).
+    # bucket-resident arrays (contiguous gs·D blocks — the slab shape is
+    # what makes this gather ~4× cheaper than m·gs scattered rows).
     # NOTE: do NOT "flatten" these to (ncl·ng, gs·d) row gathers — that
     # reshape retiles the whole bucket array (measured +10 ms at 10M).
     blk_rows = bucket_rows.reshape(ncl * ng, gs, d_full)[wblk]
     blk_norms = bucket_norms.reshape(ncl * ng, gs)[wblk]   # (nq, m, gs)
     blk_ids = bucket_ids.reshape(ncl * ng, gs)[wblk]
-    inner = jnp.einsum("qd,qmgd->qmg", qp.astype(jnp.bfloat16), blk_rows,
+    inner = jnp.einsum("qd,qmgd->qmg",
+                       q_eff.astype(jnp.bfloat16),
+                       blk_rows.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     score = jnp.where(w_ok[:, :, None], 2.0 * inner - blk_norms, -jnp.inf)
     score = score.reshape(nq, m * gs)
@@ -351,10 +419,10 @@ class IVFSearcher:
         cum = np.cumsum(np.sort(sizes))
         p_floor = int(np.searchsorted(cum, k) + 1)
         p_max = min(ncl, max(p_visit, p_floor))
-        # group size trades the kernel's packed-output traffic
+        # group size trades the kernel's min-output traffic
         # (ncl·cap/gs·qcap·4 B) against the block rescore (2k·gs rows/query);
         # correctness is gs-independent (window rescore, see probe_scan), so
-        # scale gs ∝ cap and clamp to the packing's [8, 64] range
+        # scale gs ∝ cap and clamp to [8, 64]
         gs = 8
         while gs < 64 and st.cap // gs > 480:
             gs *= 2
@@ -363,14 +431,15 @@ class IVFSearcher:
         # drops require pathologically correlated queries (documented in
         # ops/probe.py).
         qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl)
-        # Row tile: as large as the VMEM budget allows (~4 MB of bf16 rows
-        # double-buffered). Small tiles multiply grid steps — rt=512 at the
-        # 10M shapes meant 30k steps whose fixed per-step cost dominated the
-        # kernel (17.8 ms vs a ~6 ms roofline).
+        # Row tile: as large as the VMEM budget allows (double-buffered slab
+        # + output block, see probe_pallas.pick_row_tile). Small tiles
+        # multiply grid steps — rt=512 at the 10M shapes meant 30k steps
+        # whose fixed per-step cost dominated the kernel (17.8 ms vs a
+        # ~6 ms roofline, r3 bisection).
         d_full = st.bucket_rows.shape[2]
-        budget = max(512, (4 << 20) // (2 * d_full) // 512 * 512)
-        rt = max(g for g in range(512, st.cap + 1, 512)
-                 if st.cap % g == 0 and g % gs == 0 and g <= budget)
+        qcap_p = -(-min(qcap, nq) // 128) * 128
+        rt = probe_pallas.pick_row_tile(
+            st.cap, gs, qcap_p, d_full, st.bucket_rows.dtype.itemsize)
         return p_visit, p_max, qcap, gs, rt
 
     def probes(self, k: int) -> int:
@@ -385,18 +454,113 @@ class IVFSearcher:
         interpret = jax.default_backend() != "tpu"
         return probe_scan(qp, jnp.asarray(st.centroids), st.bucket_rows,
                           st.bucket_norms, st.bucket_ids, st.sizes,
-                          k, p_visit, p_max, qcap, exact=exact, gs=gs,
+                          k, p_visit, p_max, qcap,
+                          dim_scales=st.dim_scales, exact=exact, gs=gs,
                           rt=rt, interpret=interpret)
+
+
+class ShardedIVF:
+    """Mesh-sharded probe state + search (VERDICT r3 #6).
+
+    Shards every bucket array over the CLUSTER axis of a mesh's "db" axis
+    (each shard owns ncl/nshards clusters — whole clusters, like the
+    reference's disk-resident cluster chunks, BitVecEngine.cpp:1024-1139)
+    and serves queries via ``parallel.sharded_ivf_search``: per-shard local
+    probe + group-min scan + window rescore, merged by the k-row
+    all_gather. Bucket ids are already global, so the merge needs no
+    offsets. The visit fraction applies per shard (same total budget).
+    """
+
+    def __init__(self, state: IVFState, visit: float, mesh, q_axis=None):
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        self.visit = float(visit)
+        self.mesh = mesh
+        self.q_axis = q_axis
+        self.cap = state.cap
+        self.seg_dims = state.seg_dims
+        nshards = mesh.shape["db"]
+        ncl = state.ncl
+        ncl_pad = -(-ncl // nshards) * nshards
+        padc = ncl_pad - ncl
+        self.ncl_local = ncl_pad // nshards
+
+        cents = np.pad(state.centroids, ((0, padc), (0, 0)),
+                       constant_values=1e9)          # far: ranked last
+        sizes_np = np.pad(np.asarray(state.sizes), (0, padc))
+        # worst-shard probe floor: each shard must be able to reach >= k
+        # members from its own (smallest-first) clusters
+        self.local_sizes = sizes_np.reshape(nshards, self.ncl_local)
+
+        def put(arr, spec):
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        if state.bucket_rows.dtype == jnp.int8:
+            def pad_row(s, d):
+                return jnp.broadcast_to(
+                    jnp.asarray(probe_pallas.poison_pattern(s[-1])), s)
+        else:
+            def pad_row(s, d):
+                return jnp.full(s, 1e15, d)
+        rows = jnp.concatenate(
+            [state.bucket_rows,
+             pad_row((padc, state.cap, state.bucket_rows.shape[2]),
+                     state.bucket_rows.dtype)]) if padc else \
+            state.bucket_rows
+        norms = jnp.pad(state.bucket_norms, ((0, padc), (0, 0)),
+                        constant_values=np.inf)
+        ids = jnp.pad(state.bucket_ids, ((0, padc), (0, 0)),
+                      constant_values=-1)
+        self.rows = put(rows, P("db", None, None))
+        self.norms = put(norms, P("db", None))
+        self.ids = put(ids, P("db", None))
+        self.sizes = put(jnp.asarray(sizes_np.astype(np.int32)), P("db"))
+        self.centroids = put(jnp.asarray(cents), P("db", None))
+        self.dim_scales = (None if state.dim_scales is None
+                           else put(state.dim_scales, P(None)))
+
+    def params(self, k: int, nq: int):
+        """Per-shard static params (same rules as IVFSearcher.params, with
+        the worst shard setting the >= k probe floor)."""
+        ncl_l = self.ncl_local
+        p_visit = max(1, int(np.ceil(self.visit * ncl_l)))
+        p_floor = 1
+        for srt in np.sort(self.local_sizes, axis=1):
+            cum = np.cumsum(srt)
+            p_floor = max(p_floor, int(np.searchsorted(cum, k) + 1))
+        p_max = min(ncl_l, max(p_visit, p_floor))
+        gs = 8
+        while gs < 64 and self.cap // gs > 480:
+            gs *= 2
+        qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl_l)
+        qcap_p = -(-min(qcap, nq) // 128) * 128
+        rt = probe_pallas.pick_row_tile(
+            self.cap, gs, qcap_p, self.rows.shape[2],
+            self.rows.dtype.itemsize)
+        return p_visit, p_max, qcap, gs, rt
+
+    def search(self, qp: jnp.ndarray, k: int, exact: bool = False):
+        from vaq_tpu.parallel import sharded_ivf_search
+
+        qp = jnp.asarray(qp)
+        p_visit, p_max, qcap, gs, rt = self.params(k, qp.shape[0])
+        interpret = jax.default_backend() != "tpu"
+        return sharded_ivf_search(
+            self.centroids, self.rows, self.norms, self.ids, self.sizes,
+            self.dim_scales, qp, k, self.mesh, p_visit, p_max, qcap, gs,
+            rt, exact=exact, interpret=interpret, q_axis=self.q_axis)
 
 
 def attach_ivf(index, verbose: bool = False,
                ti_cluster_num: Optional[int] = None,
                ti_segment_num: Optional[int] = None,
-               visit: Optional[float] = None):
+               visit: Optional[float] = None,
+               rows_dtype: str = "int8"):
     """Build + attach the cluster-probe state (the clusterTI call site,
     demo_vaq.cpp:127). Explicit overrides avoid config mutation."""
     state = build_ivf(index, verbose=verbose, ti_cluster_num=ti_cluster_num,
-                      ti_segment_num=ti_segment_num)
+                      ti_segment_num=ti_segment_num, rows_dtype=rows_dtype)
     index.ivf = IVFSearcher(
         state, index.config.visit if visit is None else visit)
     return index

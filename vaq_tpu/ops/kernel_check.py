@@ -57,10 +57,57 @@ def _parity_scores_ids(fn, *args, rtol: float = 1e-4) -> Tuple[bool, dict]:
     return score_ok and ties_ok and frac_ok, detail
 
 
+def _parity_groupmin(rtol: float = 1e-4) -> Tuple[bool, dict]:
+    """Compiled-vs-interpreted gate for the IVF group-min probe kernel
+    (VERDICT r3 #3: it shipped in r3 without any compiled-path coverage and
+    failed Mosaic lowering on the first real-chip run). Exercises BOTH
+    tiling regimes — ntiles=1 (whole-bucket slab, the 1M shape) and
+    ntiles>1 — and both row dtypes. Values are f32 group minima; the
+    in-kernel ‖q‖² lane reduction may legally reassociate under Mosaic, so
+    the gate is rtol-based like the decode-then-dot one."""
+    from vaq_tpu.ops import probe_pallas
+
+    detail = {}
+    ok_all = True
+    rng = np.random.default_rng(0)
+    for tag, (ncl, cap, rt, gs, qcap, dtype) in {
+        "1tile_int8": (8, 1536, 1536, 8, 128, "int8"),
+        "ntile_bf16": (4, 1024, 512, 16, 128, "bf16"),
+    }.items():
+        d = 128
+        rows = rng.standard_normal((ncl * cap, d)).astype(np.float32)
+        if dtype == "int8":
+            rows = np.clip(np.round(rows * 32.0), -127, 127).astype(np.int8)
+            rows = jnp.asarray(rows)
+            dim_w = jnp.full((d,), 1.0 / (32.0 * 32.0), jnp.float32)
+        else:
+            rows = jnp.asarray(rows).astype(jnp.bfloat16)
+            dim_w = jnp.ones((d,), jnp.float32)
+        qsl = jnp.asarray((-2.0 * rng.standard_normal(
+            (ncl, qcap, d))).astype(jnp.bfloat16))
+        out_c = np.asarray(probe_pallas.groupmin_window_scan(
+            qsl, rows, dim_w, ncl, cap, gs=gs, rt=rt, interpret=False),
+            dtype=np.float32)
+        out_i = np.asarray(probe_pallas.groupmin_window_scan(
+            qsl, rows, dim_w, ncl, cap, gs=gs, rt=rt, interpret=True),
+            dtype=np.float32)
+        rel = np.abs(out_c - out_i) / np.maximum(np.abs(out_i), 1e-20)
+        # bf16 output: Mosaic may legally reassociate the f32 reductions,
+        # so values within 1 bf16 ulp (≤ ~0.8% rel) on a small fraction of
+        # entries are rounding, not a miscompile
+        ok = bool(np.all(rel < 1e-2)) and bool((rel > rtol).mean() < 0.01)
+        if not ok:
+            detail[tag] = {"max_rel_diff": float(rel.max()),
+                           "frac_above_rtol": float((rel > rtol).mean())}
+        ok_all = ok_all and ok
+    return ok_all, detail
+
+
 def kernel_parity_fields(idx, queries: np.ndarray, n_rows: int = 65536,
                          nq: int = 128) -> dict:
-    """Compiled-vs-interpreted equality for the decode-then-dot window scan
-    and the one-hot (fast4) window scan on a slice of a live index.
+    """Compiled-vs-interpreted equality for the decode-then-dot window scan,
+    the one-hot (fast4) window scan (on a slice of a live index) and the
+    IVF group-min probe kernel (synthetic buckets at both tiling regimes).
 
     Returns bench-JSON fields: kernel_parity_ok (bool) plus per-kernel
     mismatch counts when non-zero.
@@ -92,9 +139,13 @@ def kernel_parity_fields(idx, queries: np.ndarray, n_rows: int = 65536,
             c, l, block_rows=64, q_tile=128, interpret=interpret),
         codes_rm, luts)
 
-    fields["kernel_parity_ok"] = bool(ok_d and ok_f)
+    ok_g, detail_g = _parity_groupmin()
+
+    fields["kernel_parity_ok"] = bool(ok_d and ok_f and ok_g)
     if not ok_d:
         fields["kernel_parity_decode_detail"] = detail_d
     if not ok_f:
         fields["kernel_parity_fast4_mismatches"] = bad_f
+    if not ok_g:
+        fields["kernel_parity_groupmin_detail"] = detail_g
     return fields

@@ -3,29 +3,52 @@
 The TPU replacement for the reference's per-row triangle-inequality scan
 (``searchTriangleInequality`` VAQ.cpp:1540-1692): every probed
 (cluster × its dispatched queries) pair is scored with dense MXU matmuls,
-and each ``gs``-row *group* is reduced to ONE packed int32 — the group's
-min squared distance (clamped f32, bitcast) with the group-local argmin row
-in the low ``log2(gs)`` mantissa bits — entirely in VMEM.
+and each ``gs``-row *group* (window) is reduced to ONE f32 — the group's
+min squared distance — entirely in VMEM.
 
 Why this kernel exists (round-3 bisection, BENCH_r02 / VERDICT r2 #1): the
 XLA formulation of the same computation ran at ~2% efficiency because
-(a) the (cb, qcap, cap) f32 score intermediate was materialized to HBM
-(+4.6 ms/batch at 1M), (b) per-(cluster, slot) ``lax.top_k`` over groups
-cost +2.9 ms, and (c) the winner-group rescore gathered m·gs = 384 scattered
-rows/query (+8.8 ms). With group-argmin packing the scan emits one i32 per
-(group, slot), the merge is a flat row gather + one ``top_k``/``approx_max_k``
-over windows, and the rescore reads the top ~2k windows' contiguous gs-row
-blocks back from the buckets (whole blocks because neighbors are dense
-within buckets — see ``ivf.probe_scan``) — the same window-winner structure
-as the decode-then-dot capacity kernel (``scan_pallas.decode_window_scan``).
+(a) the (cb, qcap, cap) f32 score intermediate was materialized to HBM,
+(b) per-(cluster, slot) ``lax.top_k`` over groups cost +2.9 ms, and (c) the
+winner rescore gathered m·gs scattered rows/query. With the group-min
+reduction the scan emits one f32 per (group, slot), the merge is a flat row
+gather + one ``top_k``/``approx_max_k`` over windows, and the rescore reads
+the top m = 2k windows' contiguous gs-row blocks back from the buckets —
+the same window-winner structure as the decode-then-dot capacity kernel
+(``scan_pallas.decode_window_scan``).
 
-Distances are computed as ``‖x‖² − 2 q·x + ‖q‖²`` with both norms derived
-*in-kernel from the bf16 operands*, so the packed quantity is exactly the
-distance to the bf16-rounded row (the final rescore against the flat DB is
-exact f32). Padding/deleted bucket slots carry sentinel row values
-(``build_ivf`` writes 1e15), whose in-kernel distance ~1.3e32 is clamped to
-the 1e30 ceiling — bitcast-safe (never NaN), never a winner against live
-rows, and recognizably invalid downstream (≥ 1e30).
+Round-4 redesign, driven by on-chip bisection at the 10M bench shape
+(`.scratch/repl4.out`):
+
+* **Static unrolled inner tiles.** The r3/r4-draft ``fori_loop`` +
+  dynamic ``pl.dslice`` form scalarized under Mosaic (a traced sublane
+  offset defeats tile-alignment analysis): 794 ms/call at the 1M shape vs
+  ~1.6 ms with compile-time slice offsets.
+* **Norms are computed IN-KERNEL**, not streamed: the r3 design's f32
+  norms input needs a (1, it)→(it, 1) lane→sublane relayout per tile that
+  cost +3.5 ms at the 10M shape (7.37 → 3.87 ms without it). ``‖x̂‖² =
+  Σ_d rows² · w_d`` with ``w`` a lane-aligned per-dim weight row
+  (broadcast over sublanes is free). For int8 rows this is EXACT
+  (integer squares < 2²¹ in f32); for bf16 rows it matches the f32
+  accumulation quality of the old input.
+* **Bucket rows may be int8** (per-dim scales folded into the query slab
+  by the caller exactly as the decoded8 tier does, scan_decoded.py:168;
+  ``w = 1/scales²``): the rows stream is the kernel's HBM roofline term
+  and int8 halves it vs bf16.
+* **Masking is by row VALUES, not a norms input.** bf16 padding/deleted
+  slots hold 1e15 sentinels (distance ~1e32 — loses every min, and
+  recognizable ≥ SENTINEL_DIST). int8 slots hold the max-norm POISON
+  pattern (±127 alternating, see ``poison_pattern``): their distance
+  ``(√B − ‖q‖)² + …`` with B = Σ max_d² ranks at or above every realistic
+  row, so poisoned slots lose the group-min against live rows. This is a
+  *ranking* guard only — exactness of the final output does not depend on
+  it, because the block rescore reads ``bucket_norms`` (+inf on
+  padding/deleted slots) and scores them −inf, so a poison row can never
+  be returned (BitVecEngine.cpp:1626-1636 delete semantics).
+
+The r3 packed argmin-index epilogue (iota/AND/OR/bitcast int) is gone —
+the window rescore never consumed the index, and the f32 min makes the
+near-zero-distance negative-rounding edge case exact by construction.
 """
 
 from __future__ import annotations
@@ -34,85 +57,125 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: distances ≥ this are treated as "no candidate" by the merge
+#: distances at or above this are treated as "definitely not a candidate";
+#: bf16 sentinel rows produce ~1e32 > this, live rows are far below it
 SENTINEL_DIST = 1e30
 
 
 _INNER_TILE = 1024
+#: VMEM budget for the per-inner-tile temporaries (dot/dist f32 pair plus
+#: the bf16 row cast + f32 square), in bytes — keeps large-qcap configs
+#: compilable (ADVICE r3: (it, qcap) temporaries scale with qcap up to nq)
+_TEMP_BUDGET = 3 << 20
+#: VMEM budget for the double-buffered row slab + output block. The chip
+#: has ~16 MB of scoped VMEM; leave headroom for the query slab and
+#: Mosaic's own stack.
+_SLAB_BUDGET = 10 << 20
 
 
-def _groupmin_kernel(qsl_ref, rows_ref, norms_ref, out_ref, *, gs):
+def poison_pattern(d: int, dim_scales=None) -> np.ndarray:
+    """The int8 padding/deleted-slot row: alternating ±127.
+
+    Its reconstruction has the maximum possible norm B = Σ_d max_d², and
+    the alternating signs keep |q·x̂_pad| small for natural queries, so its
+    distance ranks at/above every live row. (Ranking guard only — the
+    rescore masks poisoned slots exactly via +inf bucket_norms.)
+    """
+    pat = np.full((d,), 127, dtype=np.int8)
+    pat[1::2] = -127
+    return pat
+
+
+def pick_inner_tile(rt: int, gs: int, qcap_p: int, d: int) -> int:
+    """Largest inner row tile whose temporaries fit _TEMP_BUDGET.
+
+    Temporaries per tile: the bf16 row cast + f32 square (it·d·6) and
+    dot/dist f32 + min input (~it·qcap·12).
+    """
+    per_row = 6 * d + 12 * qcap_p
+    budget = max(_TEMP_BUDGET // per_row, gs)
+    return max(t for t in (_INNER_TILE, 512, 256, 128, 64, 32, 16, 8)
+               if rt % t == 0 and t % gs == 0 and (t <= budget or t == gs))
+
+
+def pick_row_tile(cap: int, gs: int, qcap_p: int, d: int,
+                  itemsize: int) -> int:
+    """Largest row-slab tile (a multiple of 512 dividing ``cap``) whose
+    double-buffered slab + output block fit _SLAB_BUDGET.
+
+    Large slabs matter: grid steps carry a fixed cost that dominated the
+    10M bench at rt=512 (30k steps — 12.2 ms vs 7.4 ms whole-bucket slabs,
+    r4 bisection), so rt should be as large as VMEM allows.
+    """
+    best = 512
+    for rt in range(512, cap + 1, 512):
+        if cap % rt or rt % gs:
+            continue
+        bytes_needed = 2 * rt * d * itemsize + 2 * (rt // gs) * qcap_p * 2
+        if bytes_needed <= _SLAB_BUDGET:
+            best = rt
+    return best
+
+
+def _groupmin_kernel(qsl_ref, w_ref, rows_ref, out_ref, *, gs, it):
     """One (cluster, row-slab) step: score the slab's rows against this
-    cluster's query slab and emit per-gs-row-group packed minima.
+    cluster's query slab and emit per-gs-row-group minima.
 
     qsl_ref   (1, qcap, d) bf16 — the cluster's queries, PRE-SCALED by −2
-    rows_ref  (rt, d)      bf16 — one large slab of the cluster's bucket rows
-    norms_ref (1, rt)      f32  — exact row norms (+inf padding/deleted)
-    out_ref   (rt/gs, qcap) i32 — packed (dist | local row) group minima
+                                  (and by the per-dim int8 scales when the
+                                  rows are int8)
+    w_ref     (1, d)       f32  — per-dim norm weights (1/scales² for int8
+                                  rows; ones for bf16)
+    rows_ref  (rt, d)  bf16|int8 — one large slab of the cluster's rows
+    out_ref   (rt/gs, qcap) f32 — per-group min squared distances
 
-    The slab is as large as the VMEM DMA budget allows (whole buckets at the
-    10M bench shapes — grid steps carry a fixed cost that dominated at
-    rt=512 / 30k steps); compute iterates _INNER_TILE-row sub-tiles inside a
-    ``fori_loop`` so the (tile, qcap) f32/i32 temporaries stay ~0.25 MB
-    rather than scaling with the slab.
-
-    The epilogue is the kernel's bound (VPU passes over every (row, slot)
-    element — the MXU and HBM stream finish first), so it is pared to five:
-    add row-norm column, add ‖q‖² row, mask-AND, OR local index, min-reduce.
-    The −2 query pre-scale removes the multiply; the f32 norms input removes
-    the in-kernel cast·square·reduce (3 passes — and makes the packed
-    distance exact-norm quality); the non-negativity clamp is gone because
-    dist = ‖x‖² − 2qx + ‖q‖² ≥ −ε with only bf16-rounding-scale negatives,
-    and among bitcast-int negatives the min just picks some ≈0-distance row
-    — harmless by construction. Padding/deleted slots mask via their +inf
-    norms: +inf | local is a NaN bit pattern, but int-min ordering still
-    ranks it above every finite candidate, and the merge unmasks it to
-    exactly +inf (≥ SENTINEL_DIST ⇒ invalid window).
+    The slab is as large as the VMEM DMA budget allows (whole buckets at
+    the bench shapes); compute iterates ``it``-row sub-tiles with
+    compile-time offsets (see module docstring on why not fori_loop).
     """
-    rt, d = rows_ref.shape
+    rt = rows_ref.shape[0]
     qcap = qsl_ref.shape[1]
-    it = max(t for t in (_INNER_TILE, 512, 256, 128, 64, 32, gs)
-             if t <= _INNER_TILE and rt % t == 0)
     q = qsl_ref[0]                                         # (qcap, d) bf16
     qf = q.astype(jnp.float32)
     qn = 0.25 * jnp.sum(qf * qf, axis=1, keepdims=True).T  # (1, qcap) ‖q‖²
-    local = jax.lax.broadcasted_iota(jnp.int32, (it, qcap), 0) & (gs - 1)
+    w = w_ref[0:1, :]                                      # (1, d)
 
-    def tile_body(i, _):
-        rows = rows_ref[pl.dslice(i * it, it), :]
-        xn = jnp.transpose(norms_ref[0:1, pl.dslice(i * it, it)],
-                           (1, 0))                         # (it, 1)
+    for i in range(rt // it):
+        rows = rows_ref[i * it:(i + 1) * it, :].astype(jnp.bfloat16)
         dot = jax.lax.dot_general(
             rows, q, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)            # (it, qcap) −2qx
+            preferred_element_type=jnp.float32)            # (it, qcap) −2qx̂
+        rf = rows.astype(jnp.float32)
+        xn = jnp.sum(rf * rf * w, axis=1, keepdims=True)   # (it, 1) ‖x̂‖²
         dist = (dot + xn) + qn
-        ai = jax.lax.bitcast_convert_type(dist, jnp.int32)
-        packed = (ai & ~(gs - 1)) | local
-        out_ref[pl.dslice(i * (it // gs), it // gs), :] = jnp.min(
-            packed.reshape(it // gs, gs, qcap), axis=1)
-        return 0
-
-    jax.lax.fori_loop(0, rt // it, tile_body, 0)
+        # bf16 output: the mins only RANK windows (the block rescore is
+        # exact), and halving the (ncl·ng·qcap) output cuts the merge's
+        # transpose+gather traffic in half. Cast after the reduce — 1/gs
+        # of the data.
+        out_ref[i * (it // gs):(i + 1) * (it // gs), :] = jnp.min(
+            dist.reshape(it // gs, gs, qcap), axis=1).astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("ncl", "cap", "gs", "rt", "interpret"))
 def groupmin_window_scan(
     qsl: jnp.ndarray,        # (ncl, qcapP, d) bf16 query slabs, −2-scaled
-    bucket_rows: jnp.ndarray,  # (ncl*cap, d) bf16, sentinel padding rows
-    bucket_norms: jnp.ndarray,  # (ncl*cap,) f32, +inf padding/deleted
+    bucket_rows: jnp.ndarray,  # (ncl*cap, d) bf16|int8, sentinel/poison pad
+    dim_w: jnp.ndarray,      # (d,) f32 norm weights (1/scales² | ones)
     ncl: int,
     cap: int,
     gs: int = 16,
     rt: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Packed group minima for every (cluster, query-slot, gs-row group).
+    """Per-(cluster, query-slot, gs-row group) min squared distances.
 
-    Returns (ncl, ng, qcapP) i32 with ng = cap // gs. Grid is
+    Returns (ncl, ng, qcapP) bf16 with ng = cap // gs (ranking-quality
+    values; exact distances come from the caller's block rescore). Grid is
     (ncl, cap // rt): row slabs stream HBM→VMEM while each cluster's query
     slab stays resident across its tiles.
     """
@@ -121,23 +184,24 @@ def groupmin_window_scan(
     assert gs >= 8 and gs & (gs - 1) == 0, gs
     ntiles = cap // rt
     ng = cap // gs
-    packed = pl.pallas_call(
-        functools.partial(_groupmin_kernel, gs=gs),
+    it = pick_inner_tile(rt, gs, qcap, d)
+    mins = pl.pallas_call(
+        functools.partial(_groupmin_kernel, gs=gs, it=it),
         grid=(ncl, ntiles),
         in_specs=[
             pl.BlockSpec((1, qcap, d), lambda c, t: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, d), lambda c, t: (c * (cap // rt) + t, 0),
+            pl.BlockSpec((1, d), lambda c, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rt), lambda c, t: (c * (cap // rt) + t, 0),
+            pl.BlockSpec((rt, d), lambda c, t: (c * (cap // rt) + t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((rt // gs, qcap),
                                lambda c, t: (c * (cap // rt) + t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ncl * ng, qcap), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((ncl * ng, qcap), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(qsl, bucket_rows, bucket_norms.reshape(ncl * ntiles, rt))
-    return packed.reshape(ncl, ng, qcap)
+    )(qsl, dim_w.reshape(1, d), bucket_rows)
+    return mins.reshape(ncl, ng, qcap)

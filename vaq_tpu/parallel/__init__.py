@@ -12,7 +12,8 @@ from vaq_tpu.parallel.sharded import (shard_codes, sharded_adc_search,
                                       sharded_codes_search,
                                       sharded_decoded8_search,
                                       sharded_decoded_search,
-                                      sharded_exact_search)
+                                      sharded_exact_search,
+                                      sharded_ivf_search)
 
 __all__ = [
     "make_mesh",
@@ -22,4 +23,5 @@ __all__ = [
     "sharded_decoded8_search",
     "sharded_decoded_search",
     "sharded_exact_search",
+    "sharded_ivf_search",
 ]

@@ -265,6 +265,77 @@ def sharded_codes_search(
 
 @functools.partial(
     jax.jit,
+    static_argnames=("k", "mesh", "p_visit", "p_max", "qcap", "gs", "rt",
+                     "exact", "interpret", "q_axis", "db_axis"),
+)
+def sharded_ivf_search(
+    centroids: jnp.ndarray,     # (ncl_pad, seg_dims) cluster-sharded
+    bucket_rows: jnp.ndarray,   # (ncl_pad, cap, D) int8|bf16
+    bucket_norms: jnp.ndarray,  # (ncl_pad, cap) f32
+    bucket_ids: jnp.ndarray,    # (ncl_pad, cap) i32 — GLOBAL row ids
+    sizes: jnp.ndarray,         # (ncl_pad,) i32
+    dim_scales,                 # (D,) f32 or None (int8 rows only)
+    qp: jnp.ndarray,            # (nq, D) projected queries
+    k: int,
+    mesh: Mesh,
+    p_visit: int,               # per-shard visit budget (local clusters)
+    p_max: int,
+    qcap: int,
+    gs: int,
+    rt: int,
+    exact: bool = False,
+    interpret: bool = False,
+    q_axis: Optional[str] = None,
+    db_axis: str = "db",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded IVF/TI cluster probe (VERDICT r3 #6): buckets sharded over
+    the CLUSTER axis, each shard probing its local clusters with the same
+    visit fraction, per-shard ``ivf.probe_scan`` + the k-row all_gather
+    merge. This is the TPU re-design of the reference's disk-resident
+    *cluster* scan (``BitVecEngine.cpp:1024-1139``): its chunks hold whole
+    clusters and merge per-chunk answers — here the chunks are mesh shards.
+
+    Semantics note: each query visits its nearest ``p_visit`` clusters *per
+    shard* (total fraction = the configured ``visit``), rather than the
+    global nearest ``visit·ncl`` — the same candidate-budget contract, with
+    composition differing per shard exactly as the reference's per-chunk
+    cluster visiting does. Bucket ids are global, so no offset is needed.
+    Padded clusters carry far centroids, zero sizes and +inf norms; they
+    rank last in the probe and their windows are invalid in the merge.
+    """
+    from vaq_tpu import ivf as ivf_mod
+
+    q_spec = P(q_axis, None) if q_axis else P(None, None)
+    out_spec = (P(q_axis, None) if q_axis else P(None, None),) * 2
+    scales_spec = (P(None),) if dim_scales is not None else ()
+    scales_arg = (dim_scales,) if dim_scales is not None else ()
+
+    def local(cents_l, rows_l, norms_l, ids_l, sizes_l, *rest):
+        if dim_scales is not None:
+            scales_l, qp_l = rest
+        else:
+            (qp_l,) = rest
+            scales_l = None
+        d, i = ivf_mod.probe_scan(
+            qp_l, cents_l, rows_l, norms_l, ids_l, sizes_l, k,
+            p_visit, p_max, qcap, dim_scales=scales_l, exact=exact,
+            gs=gs, rt=rt, interpret=interpret)
+        return _local_topk_merge(d, i, k, db_axis)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(db_axis, None), P(db_axis, None, None),
+                  P(db_axis, None), P(db_axis, None), P(db_axis),
+                  *scales_spec, q_spec),
+        out_specs=out_spec,
+        check_vma=False,
+    )(centroids, bucket_rows, bucket_norms, bucket_ids, sizes,
+      *scales_arg, qp)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "mesh", "block_rows", "q_axis", "db_axis"),
 )
 def sharded_exact_search(
