@@ -54,17 +54,18 @@ def measure_qps(step_fn, qb_dev, batch, iters):
     return batch / (ms / 1000.0), ms
 
 
-def serving_knee_fields(args, idx, queries):
+def serving_knee_fields(args, idx, queries, backend="decoded", prefix=""):
     """Offered-load sweep (VERDICT r2 #6): find the max sustained rate (the
     knee — achieved ≥ 97% of offered), then report p50/p95 at ~80% of it.
-    One warm server serves the whole sweep."""
+    One warm server serves the whole sweep. ``backend`` selects the served
+    engine tier (VERDICT r3 #8: at least one codes-tier point)."""
     import threading
 
     from vaq_tpu.serving import SearchServer
 
     srv = SearchServer(idx, k=args.k, max_batch=256,
                        max_wait_ms=args.serving_wait_ms,
-                       pipeline_depth=args.serving_depth)
+                       pipeline_depth=args.serving_depth, backend=backend)
     srv.search(queries[0])  # warm the compiled path
 
     def run_rate(rate, n_off=4096):
@@ -122,13 +123,13 @@ def serving_knee_fields(args, idx, queries):
             rates = [round((knee + rate) / 2, -2)]  # one refinement probe
         else:
             break
-    fields = {"serving_sweep": results}
+    fields = {f"{prefix}serving_sweep": results}
     if knee is not None:
-        fields["serving_knee_qps"] = knee
+        fields[f"{prefix}serving_knee_qps"] = knee
         ach, p50, p95 = run_rate(round(0.8 * knee, -2))
-        fields["serving_qps"] = round(ach, 1)
-        fields["serving_p50_ms"] = round(p50, 2)
-        fields["serving_p95_ms"] = round(p95, 2)
+        fields[f"{prefix}serving_qps"] = round(ach, 1)
+        fields[f"{prefix}serving_p50_ms"] = round(p50, 2)
+        fields[f"{prefix}serving_p95_ms"] = round(p95, 2)
         log(f"serving @80% of knee ({0.8 * knee:.0f}): achieved {ach:.0f}, "
             f"p50={p50:.1f}ms p95={p95:.1f}ms")
     nb = max(srv.batches_served, 1)
@@ -583,6 +584,13 @@ def main():
     if not args.no_serving:
         serving = guarded("serving",
                           lambda: serving_knee_fields(args, idx, queries))
+        # one codes-tier serving point (VERDICT r3 #8): the capacity tier
+        # under the same continuous-batching server, shorter sweep
+        serving.update(guarded(
+            "serving_codes",
+            lambda: serving_knee_fields(args, idx, queries,
+                                        backend="codes",
+                                        prefix="codes_")))
 
     # Engine-vs-oracle recall companion on a 100k slice (VERDICT r2 #9) —
     # local parity evidence while the C++ reference host is unavailable.

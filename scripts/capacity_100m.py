@@ -249,6 +249,56 @@ def main():
         out[key] = round(rec_ref, 4)
         log(f"refined({r_depth}->{args.k}): {rec_ref:.4f}")
 
+    # --- IVF cluster-probe tier (VERDICT r3 #5: the Fig. 11 visit sweep
+    # 25/10/5% at 100M, ExperimentsParameters.txt:114-124). Streamed build:
+    # host-staged int8 buckets (~13 GB HBM at d=96 incl 128-lane padding),
+    # so the decoded8 tier AND the codes must be released first — after
+    # this section the index serves only the probe tier. Guarded so a
+    # failure here keeps the tiers measured above. ---
+    try:
+        from vaq_tpu import pca
+        from vaq_tpu.ivf import IVFSearcher, build_ivf_streamed
+
+        idx.decoded8 = idx.decoded8_scales = idx.decoded8_norms = None
+        import gc
+        gc.collect()
+        t0 = time.perf_counter()
+        state = build_ivf_streamed(
+            idx, verbose=True, ti_cluster_num=1000, ti_segment_num=16,
+            chunk_rows=args.chunk, free_codes_before_upload=True)
+        out["ivf_build_s"] = round(time.perf_counter() - t0, 1)
+        log(f"ivf streamed build: {out['ivf_build_s']}s "
+            f"(cap={state.cap}, HBM={state.bucket_rows.nbytes / 1e9:.1f} GB"
+            f" logical)")
+        qp_b = pca.project(qb, idx.eigvecs, idx.total_dim)
+        qp_all = pca.project(np.asarray(queries), idx.eigvecs,
+                             idx.total_dim)
+        sweep = []
+        for visit in (0.25, 0.10, 0.05):
+            searcher = IVFSearcher(state, visit)
+
+            def ivf_step(q, s=searcher):
+                eps = jnp.sum(q) * 1e-30
+                return s.search(idx, qp_b + eps, None, args.k, exact=False)
+
+            v_qps, v_ms = measure(ivf_step, iters=4)
+            _, l_iv = searcher.search(idx, jnp.asarray(qp_all), None,
+                                      args.k, exact=False)
+            v_rec = metrics.avg_recall(np.asarray(l_iv), gt, args.k)
+            sweep.append({"visit": visit, "qps": round(v_qps, 1),
+                          "ms": round(v_ms, 3),
+                          "recall_at_k": round(v_rec, 4)})
+            log(f"ivf: {v_qps:.1f} QPS ({v_ms:.1f}ms/batch) "
+                f"recall@{args.k}={v_rec:.4f} (visit={visit})")
+        out["ivf_sweep"] = sweep
+        best = max(sweep, key=lambda r: r["qps"])
+        out["ivf_qps"] = best["qps"]
+        out["ivf_recall_at_k"] = best["recall_at_k"]
+        out["ivf_visit"] = best["visit"]
+    except Exception as e:  # noqa: BLE001 — keep the tiers above
+        log(f"ivf section failed: {e!r}")
+        out["ivf_error"] = repr(e)
+
     out["value"] = out["decoded8_qps"]
     out["vs_baseline"] = 1.0
     line = json.dumps(out)

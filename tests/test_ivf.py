@@ -118,3 +118,33 @@ def test_ivf_qcap_overflow_bounded(ti_index):
     assert (labels >= 0).all()
     np.testing.assert_array_equal(labels, np.repeat(labels[:1], 64, axis=0))
     idx.ivf.visit = idx.config.visit
+
+
+def test_streamed_build_matches_standard(ti_index):
+    """build_ivf_streamed (the 100M host-staged path) must produce probe
+    state equivalent to build_ivf: every row bucketed exactly once, and
+    search recall within tolerance of the standard build at the same
+    visit fraction."""
+    from vaq_tpu.ivf import IVFSearcher, build_ivf_streamed
+
+    idx, base, queries, gt = ti_index
+    st = build_ivf_streamed(idx, chunk_rows=1000, sample_n=2000,
+                            verbose=False)
+    ids = np.asarray(st.bucket_ids)
+    valid = ids[ids >= 0]
+    assert len(valid) == base.shape[0]
+    assert len(np.unique(valid)) == base.shape[0]
+    assert st.bucket_rows.dtype.name == "int8"
+    assert st.cap % 512 == 0
+
+    searcher = IVFSearcher(st, visit=0.5)
+    import jax.numpy as jnp
+    from vaq_tpu import pca
+    qp = pca.project(queries, idx.eigvecs, idx.total_dim)
+    _, lab_s = searcher.search(idx, jnp.asarray(qp), None, 20)
+    from vaq_tpu import metrics
+    idx.ivf.visit = 0.5
+    _, lab_r = idx.search(queries, 20)
+    r_s = metrics.avg_recall(np.asarray(lab_s), gt, 20)
+    r_r = metrics.avg_recall(np.asarray(lab_r), gt, 20)
+    assert abs(r_s - r_r) < 0.05, (r_s, r_r)

@@ -432,3 +432,51 @@ def test_add_releases_sharded_buffers(sift_like):
     idx.add(base[2000:2050])
     assert idx._mesh is None
     assert idx._sharded_decoded is None and idx._sharded_norms is None
+
+
+def test_learn_quantization_matches_host_reference(sift_like):
+    """The on-device α-grid (VERDICT r3 #9) must reproduce the host-numpy
+    quantile/loss computation it replaced (same α picked, same offsets and
+    scales to f32 tolerance)."""
+    import jax.numpy as jnp
+    from vaq_tpu import pca
+    from vaq_tpu.ops import scan_jax
+    from vaq_tpu.rng import sample_rows
+    from vaq_tpu import io as io_mod
+
+    base, _, _ = sift_like
+    cfg = parse_method_string("VAQ128m32min1max4var1,FAST")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    idx.learn_quantization(base, sample_ratio=0.05)
+
+    # host-numpy reference (the pre-r4 implementation)
+    x = io_mod.pad_dims(np.asarray(base, np.float32), cfg.subspace_num)
+    sample_n = min(max(1, int(0.05 * x.shape[0])), 65536)
+    qs = sample_rows(x, sample_n, cfg.seed)
+    qp = np.asarray(pca.project(qs, idx.eigvecs, idx.total_dim))
+    luts = np.asarray(scan_jax.build_luts(jnp.asarray(qp),
+                                          jnp.asarray(idx.centroids)))
+    m = idx.highest_subs
+    valid = (np.arange(idx.max_centroids)[None, :]
+             < idx.centroid_counts[:, None])
+    best_loss, best = np.inf, None
+    for alpha in (0.001, 0.002, 0.005, 0.01, 0.02, 0.05, 0.1):
+        offsets = np.empty(m, np.float32)
+        ceils = np.empty(m, np.float32)
+        for s in range(m):
+            col = luts[:, s, valid[s]].reshape(-1)
+            offsets[s] = np.quantile(col, alpha)
+            ceils[s] = np.quantile(np.maximum(col - offsets[s], 0.0),
+                                   1.0 - alpha)
+        scales = 255.0 / np.maximum(ceils, 1e-30)
+        luts_m = np.where(valid[None], luts, 0.0)
+        off_l = np.maximum(luts_m - offsets[None, :, None], 0.0)
+        q8 = np.minimum(np.floor(off_l * scales[None, :, None]), 255.0)
+        err = (off_l * scales[None, :, None] - q8) * valid[None]
+        loss = float(np.sum(err * err))
+        if loss <= best_loss:
+            best_loss, best = loss, (offsets, scales)
+
+    np.testing.assert_allclose(idx.lut_offsets, best[0], rtol=2e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(idx.lut_scales, best[1], rtol=2e-3)

@@ -36,6 +36,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import time
 from typing import Optional, Tuple
 
 import jax
@@ -189,10 +190,9 @@ def build_ivf(index, verbose: bool = False,
             slots = np.repeat(np.arange(ncl), space)
             assign[spill] = slots[: spill.size]
     sizes = np.bincount(assign, minlength=ncl)
-    cap = int(max(cap, sizes.max()))
-    cap = -(-cap // 512) * 512  # multiple of the Pallas kernel's 512-row
-    #                             tile (padding slots carry sentinel rows —
-    #                             clamped to SENTINEL_DIST, never winners)
+    cap = _round_cap(int(max(cap, sizes.max())))  # Pallas tile granularity
+    #                             (padding slots carry sentinel/poison rows
+    #                             — never winners; see probe_pallas)
     if verbose:
         print(f"== ivf: {ncl} clusters, seg_dims={seg_dims}, cap={cap}, "
               f"sizes min/mean/max = {sizes.min()}/{sizes.mean():.0f}/"
@@ -272,6 +272,207 @@ def build_ivf(index, verbose: bool = False,
         sizes=live,
         dim_scales=dim_scales,
     )
+
+
+def _fill_capacity(cand: np.ndarray, ncl: int, cap: int) -> np.ndarray:
+    """Round-based greedy capacity fill: in round j, unplaced rows claim
+    their j-th nearest cluster; each cluster admits claimants up to its
+    remaining space in row order. Returns assign (n,) with every row placed
+    (pathological leftovers go to any cluster with space)."""
+    n, s_cand = cand.shape
+    fill = np.zeros(ncl, dtype=np.int64)
+    assign = np.full(n, -1, dtype=np.int64)
+    for j in range(s_cand):
+        un = np.flatnonzero(assign < 0)
+        if un.size == 0:
+            break
+        choice = cand[un, j].astype(np.int64)
+        order = np.argsort(choice, kind="stable")
+        sorted_choice = choice[order]
+        seg_start = np.searchsorted(sorted_choice, sorted_choice,
+                                    side="left")
+        rank = np.arange(un.size) - seg_start
+        take = rank < (cap - fill)[sorted_choice]
+        assign[un[order[take]]] = sorted_choice[take]
+        fill += np.bincount(sorted_choice[take], minlength=ncl)
+    spill = np.flatnonzero(assign < 0)
+    if spill.size:  # extremely skewed data: fill remaining space
+        space = np.maximum(cap - fill, 0)
+        slots = np.repeat(np.arange(ncl), space)
+        assign[spill] = slots[: spill.size]
+    return assign
+
+
+def _bucket_slots(assign: np.ndarray, ncl: int, cap: int):
+    """(bids (ncl, cap) row-id table, dest (n,) flat slot per row)."""
+    n = assign.shape[0]
+    bids = np.full((ncl, cap), -1, dtype=np.int32)
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    seg_start = np.searchsorted(sorted_assign, sorted_assign, side="left")
+    rank = np.arange(n) - seg_start
+    bids[sorted_assign, rank] = order.astype(np.int32)
+    dest = np.empty(n, dtype=np.int64)
+    dest[order] = sorted_assign * cap + rank
+    return bids, dest
+
+
+def _round_cap(cap: int) -> int:
+    """Round the bucket capacity up to the Pallas tile granularity — and,
+    at large caps, to a multiple of 4096 so ``cap`` has row-tile divisors
+    big enough for the slab budget (a prime-ish cap/512 would force
+    rt=512 → 100k+ grid steps at 100M, the r3 fixed-cost cliff)."""
+    q = 512 if cap <= 32768 else 4096
+    return -(-cap // q) * q
+
+
+def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
+                       balance_cap_factor: float = 1.05,
+                       ti_cluster_num: Optional[int] = None,
+                       ti_segment_num: Optional[int] = None,
+                       sample_n: int = 2_000_000,
+                       chunk_rows: int = 2_000_000,
+                       free_codes_before_upload: bool = False) -> IVFState:
+    """100M-scale int8 bucket build (VERDICT r3 #5): stream-decode from the
+    resident codes, stage buckets on HOST, upload once.
+
+    The standard :func:`build_ivf` decodes the whole database to bf16 on
+    device — 19.2 GB at 100M×96d, which cannot coexist with anything. This
+    variant keeps device transients O(chunk):
+
+    1. k-means centroids on a streamed decoded-prefix sample;
+    2. per-chunk top-S cluster candidates → host capacity-bounded fill
+       (``balance_cap_factor`` defaults tighter here — padded slots are
+       pure HBM at this scale);
+    3. per-chunk int8 quantization + exact norms on device, fetched and
+       scattered into a host (ncl, cap, D) staging buffer (~13 GB at 100M
+       ← 125 GB host RAM);
+    4. one upload of buckets/norms/ids. With ``free_codes_before_upload``
+       the codes are dropped from the device first (the capacity flow:
+       after this the index serves ONLY the probe tier).
+
+    Matches the reference's disk-resident cluster build + scan
+    (BitVecEngine.cpp:1024-1139) where cluster data also lives out-of-core
+    until visited.
+    """
+    cfg = index.config
+    if ti_cluster_num is not None or ti_segment_num is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            ti_cluster_num=(cfg.ti_cluster_num if ti_cluster_num is None
+                            else ti_cluster_num),
+            ti_segment_num=(cfg.ti_segment_num if ti_segment_num is None
+                            else ti_segment_num))
+    from vaq_tpu.ops import scan_decoded
+
+    codes = index.codes                          # (M, n) device
+    m, n = codes.shape
+    d_full = index.total_dim
+    l = index.subs_len
+    seg_subs = resolve_seg_num(cfg, index.cum_var_per_subs,
+                               index.highest_subs)
+    seg_dims = min(seg_subs, index.highest_subs) * l
+    ncl = int(cfg.ti_cluster_num)
+    if ncl <= 0:
+        raise ConfigError("ti_cluster_num must be set for the TI/IVF method")
+    cents_dev = jnp.asarray(index.centroids)
+    n_chunks = -(-n // chunk_rows)
+
+    # int8 quantization scales from the centroid extrema (as build_ivf)
+    cents_fin = np.where(np.abs(index.centroids) < 1e17,
+                         np.abs(index.centroids), 0.0)
+    dmax = cents_fin.max(axis=1).reshape(-1)[:d_full]
+    dim_scales = jnp.asarray(127.0 / np.maximum(dmax, 1e-30), np.float32)
+
+    @functools.partial(jax.jit, static_argnames=("rows", "prefix_only"))
+    def decode_chunk(start, rows, prefix_only=False):
+        blk = jax.lax.dynamic_slice_in_dim(codes, start, rows, axis=1)
+        dec, _ = scan_decoded.decode_db(blk, cents_dev, block_rows=rows)
+        if prefix_only:
+            return dec[:, :seg_dims].astype(jnp.float32)
+        q8 = jnp.clip(jnp.round(dec.astype(jnp.float32)
+                                * dim_scales[None, :]), -127, 127)
+        deq = q8 / dim_scales[None, :]
+        return q8.astype(jnp.int8), jnp.sum(deq * deq, axis=1)
+
+    # ---- pass 1: sampled prefix → k-means centroids ----
+    t0 = time.perf_counter()
+    spc = max(1, min(sample_n // n_chunks, chunk_rows))
+    sample = []
+    for i in range(n_chunks):
+        rows = min(chunk_rows, n - i * chunk_rows)
+        pre = decode_chunk(jnp.int32(i * chunk_rows), rows,
+                           prefix_only=True)
+        sample.append(pre[: min(spc, rows)])
+    sample = jnp.concatenate(sample, axis=0)
+    rng = np.random.default_rng(cfg.seed)
+    ns = sample.shape[0]
+    init_idx = rng.choice(ns, size=min(ncl, ns), replace=ncl > ns)
+    cl_cents = kmeans.lloyd(sample, sample[jnp.asarray(
+        init_idx.astype(np.int32))], iters=cfg.kmeans_iters)
+    del sample
+    if verbose:
+        print(f"== ivf-streamed: centroids {time.perf_counter() - t0:.0f}s")
+
+    # ---- pass 2: per-chunk top-S candidates → capacity fill ----
+    t0 = time.perf_counter()
+    s_cand = min(4, ncl)
+
+    @jax.jit
+    def _topS(pre):
+        d2b = probe_ops.cluster_sq_dists(pre, cl_cents)
+        _, idx2 = jax.lax.top_k(-d2b, s_cand)
+        return idx2.astype(jnp.int32)
+
+    cand = np.empty((n, s_cand), dtype=np.int32)
+    for i in range(n_chunks):
+        rows = min(chunk_rows, n - i * chunk_rows)
+        pre = decode_chunk(jnp.int32(i * chunk_rows), rows,
+                           prefix_only=True)
+        cand[i * chunk_rows:i * chunk_rows + rows] = np.asarray(_topS(pre))
+    cap = _round_cap(max(1, int(math.ceil(balance_cap_factor * n / ncl))))
+    assign = _fill_capacity(cand, ncl, cap)
+    del cand
+    bids, dest = _bucket_slots(assign, ncl, cap)
+    sizes = np.bincount(assign, minlength=ncl).astype(np.int32)
+    if verbose:
+        print(f"== ivf-streamed: assignment {time.perf_counter() - t0:.0f}s"
+              f" (cap={cap}, sizes min/max={sizes.min()}/{sizes.max()})")
+
+    # ---- pass 3: host staging buffers filled chunk-by-chunk ----
+    t0 = time.perf_counter()
+    poison = probe_pallas.poison_pattern(d_full)
+    buf = np.broadcast_to(poison, (ncl * cap, d_full)).copy()
+    nbuf = np.full(ncl * cap, np.inf, dtype=np.float32)
+    for i in range(n_chunks):
+        rows = min(chunk_rows, n - i * chunk_rows)
+        q8, nn = decode_chunk(jnp.int32(i * chunk_rows), rows)
+        sl = dest[i * chunk_rows:i * chunk_rows + rows]
+        buf[sl] = np.asarray(q8)
+        nbuf[sl] = np.asarray(nn)
+    if verbose:
+        print(f"== ivf-streamed: staging {time.perf_counter() - t0:.0f}s")
+
+    # ---- pass 4: upload ----
+    t0 = time.perf_counter()
+    cents_np = np.asarray(cl_cents)
+    if free_codes_before_upload:
+        index.codes = None
+        del codes
+    state = IVFState(
+        centroids=cents_np,
+        seg_dims=seg_dims,
+        cap=cap,
+        bucket_rows=jnp.asarray(buf).reshape(ncl, cap, d_full),
+        bucket_norms=jnp.asarray(nbuf).reshape(ncl, cap),
+        bucket_ids=jnp.asarray(bids),
+        sizes=jnp.asarray(sizes),
+        dim_scales=dim_scales,
+    )
+    jax.block_until_ready(state.bucket_rows)
+    if verbose:
+        print(f"== ivf-streamed: upload {time.perf_counter() - t0:.0f}s")
+    return state
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -69,6 +69,58 @@ def _encode_blocked(xp: jnp.ndarray, centroids: jnp.ndarray,
     return codes.reshape(-1, m)[:n]
 
 
+@jax.jit
+def _learn_quantization_device(luts, valid, counts, alphas):
+    """α-grid LUT-quantization search, fully on device (V16).
+
+    luts (S, M, C) f32 sampled LUTs; valid (M, C) padded-entry mask;
+    counts (M,) live centroids per subspace; alphas (A,).
+    Returns (offsets (A, M), scales (A, M), losses (A,)). Quantiles use
+    numpy's linear interpolation on one per-subspace sort; losses are
+    accumulated in S-blocks so transients stay O(block)·A.
+    """
+    s_n, m, c = luts.shape
+    flat = jnp.where(valid[None], luts, jnp.inf)
+    srt = jnp.sort(flat.transpose(1, 0, 2).reshape(m, s_n * c), axis=1)
+    nval = (counts * s_n).astype(jnp.float32)              # (M,)
+
+    def gather(idx):                                       # idx (A, M) i32
+        return jnp.take_along_axis(srt, idx.T, axis=1).T   # (A, M)
+
+    def interp(pos):
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, (nval[None, :] - 1).astype(jnp.int32))
+        w = pos - lo
+        return gather(lo), gather(hi), w
+
+    pos_o = alphas[:, None] * (nval[None, :] - 1.0)
+    vlo, vhi, w = interp(pos_o)
+    off = vlo * (1.0 - w) + vhi * w                        # (A, M)
+    # ceil = quantile(max(col − off, 0), 1−α): max(·−off, 0) is monotone,
+    # so the transformed quantile reads from the SAME sorted array
+    pos_c = (1.0 - alphas)[:, None] * (nval[None, :] - 1.0)
+    vlo, vhi, w = interp(pos_c)
+    ceil = (jnp.maximum(vlo - off, 0.0) * (1.0 - w)
+            + jnp.maximum(vhi - off, 0.0) * w)
+    scales = 255.0 / jnp.maximum(ceil, 1e-30)
+
+    blk = 1024
+    pad = (-s_n) % blk
+    luts_p = jnp.pad(jnp.where(valid[None], luts, 0.0),
+                     ((0, pad), (0, 0), (0, 0)))           # zero rows: 0 err
+    blocks = luts_p.reshape(-1, blk, m, c)
+
+    def body(carry, lm):                                   # lm (B, M, C)
+        off_l = jnp.maximum(lm[None] - off[:, None, :, None], 0.0)
+        scaled = off_l * scales[:, None, :, None]
+        q8 = jnp.minimum(jnp.floor(scaled), 255.0)
+        err = (scaled - q8) * valid[None, None]
+        return carry + jnp.sum(err * err, axis=(1, 2, 3)), 0
+
+    losses, _ = jax.lax.scan(body, jnp.zeros_like(alphas), blocks)
+    return off, scales, losses
+
+
 @dataclasses.dataclass
 class VAQIndex:
     """A trained (or in-training) VAQ index."""
@@ -491,7 +543,15 @@ class VAQIndex:
     def learn_quantization(self, x_train: np.ndarray,
                            sample_ratio: float = 0.1) -> "VAQIndex":
         """Learn per-subspace u8 LUT offset/scale by α-grid search
-        (reference VAQ.cpp:1118-1187)."""
+        (reference VAQ.cpp:1118-1187).
+
+        The whole search runs ON DEVICE (VERDICT r3 #9 — this was the last
+        host-bound train stage): one sort per subspace gives every α's
+        floor/ceil quantile by interpolated gather (``max(col − off, 0)``
+        preserves order, so the offset LUT's quantile reads from the same
+        sorted array), and the 7 α losses are accumulated with one blocked
+        pass over the sampled LUTs.
+        """
         x_train = io.pad_dims(np.asarray(x_train, dtype=np.float32),
                               self.config.subspace_num)
         n = x_train.shape[0]
@@ -501,37 +561,24 @@ class VAQIndex:
         # uncapped 0.1·n at 100M rows would materialize a ~300 GB LUT array.
         sample_n = min(max(1, int(sample_ratio * n)), 65536)
         qs = sample_rows(x_train, sample_n, self.config.seed)
-        qp = np.asarray(pca.project(qs, self.eigvecs, self.total_dim))
-        luts = np.asarray(scan_jax.build_luts(jnp.asarray(qp),
-                                              jnp.asarray(self.centroids)))
+        qp = pca.project(qs, self.eigvecs, self.total_dim)
+        luts = scan_jax.build_luts(jnp.asarray(qp),
+                                   jnp.asarray(self.centroids))
         # Mask padded centroid entries out of the statistics (the reference
         # instead reads uninitialized LUT rows there — we fix that).
-        m = self.highest_subs
-        valid = (np.arange(self.max_centroids)[None, :]
-                 < self.centroid_counts[:, None])           # (M', Cmax)
-        best_loss = np.inf
-        best = None
-        for alpha in (0.001, 0.002, 0.005, 0.01, 0.02, 0.05, 0.1):
-            offsets = np.empty(m, dtype=np.float32)
-            ceils = np.empty(m, dtype=np.float32)
-            for s in range(m):
-                col = luts[:, s, valid[s]].reshape(-1)
-                offsets[s] = np.quantile(col, alpha)
-                ceils[s] = np.quantile(np.maximum(col - offsets[s], 0.0),
-                                       1.0 - alpha)
-            scales = 255.0 / np.maximum(ceils, 1e-30)
-            # Reconstruction loss of the quantizer on the sampled LUTs
-            # (padded centroid entries zeroed out first — the sentinel values
-            # would otherwise turn the loss into inf·0 NaNs).
-            luts_m = np.where(valid[None, :, :], luts, 0.0)
-            off_l = np.maximum(luts_m - offsets[None, :, None], 0.0)
-            q = np.minimum(np.floor(off_l * scales[None, :, None]), 255.0)
-            err = (off_l * scales[None, :, None] - q) * valid[None, :, :]
-            loss = float(np.sum(err * err))
-            if loss <= best_loss:
-                best_loss = loss
-                best = (offsets, scales)
-        self.lut_offsets, self.lut_scales = best
+        valid = jnp.asarray(
+            np.arange(self.max_centroids)[None, :]
+            < self.centroid_counts[:, None])               # (M', Cmax)
+        alphas = jnp.asarray((0.001, 0.002, 0.005, 0.01, 0.02, 0.05, 0.1),
+                             dtype=jnp.float32)
+        offs, scales, losses = _learn_quantization_device(
+            luts, valid, jnp.asarray(self.centroid_counts.astype(np.int32)),
+            alphas)
+        # reference tie-breaking: last α with loss <= best wins
+        losses = np.asarray(losses)
+        best = int(np.flatnonzero(losses <= losses.min() + 0.0)[-1])
+        self.lut_offsets = np.asarray(offs[best])
+        self.lut_scales = np.asarray(scales[best])
         return self
 
     # ------------------------------------------------------------------
