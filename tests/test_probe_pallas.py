@@ -25,8 +25,7 @@ def _reference_groupmin(qsl, rows, dim_w, ncl, cap, gs):
     rf = r.astype(jnp.float32)
     xn = jnp.sum(rf * rf * dim_w[None, None, :], axis=2)    # (ncl, cap)
     dist = dot + xn[:, :, None] + qn[:, None, :]
-    return jnp.min(dist.reshape(ncl, cap // gs, gs, qcap),
-                   axis=2).astype(jnp.bfloat16)
+    return jnp.min(dist.reshape(ncl, cap // gs, gs, qcap), axis=2)
 
 
 def _make_inputs(ncl, cap, qcap, d, dtype, seed=0):
@@ -64,10 +63,10 @@ def test_groupmin_matches_reference(dtype, ncl, cap, rt, gs, qcap):
     r = np.asarray(ref, dtype=np.float32)
     fin = np.isfinite(r)
     np.testing.assert_array_equal(np.isfinite(o), fin)
-    # bf16 output: identical f32 math rounded to bf16 — allow 1-ulp slack
+    # f32 mins, deliberately NOT bf16: the bf16 variant collapsed bench
+    # recall (window gaps rounded away under the large per-query offset)
     denom = np.maximum(np.abs(r[fin]), 1.0)
-    assert np.max(np.abs(o[fin] - r[fin]) / denom) < 1e-2
-    assert (np.abs(o[fin] - r[fin]) / denom > 1e-4).mean() < 0.02
+    assert np.max(np.abs(o[fin] - r[fin]) / denom) < 2e-5
 
 
 @pytest.mark.parametrize("dtype", ["bf16", "int8"])

@@ -25,10 +25,11 @@ break is replaced by not scanning unprobed clusters at all.
 Note on economics: on TPU the exhaustive fused scan is extremely
 matmul-friendly, so probing must cut REAL work to win. The round-4 design
 does: int8 bucket rows (half the HBM stream), a group-min Pallas kernel
-whose epilogue computes norms in-kernel, bf16 window minima, and the
-window-block rescore — measured 91k QPS at 10M×128d vs 63k exhaustive
-(1.44×; `.scratch/repl4.out` E9). At 1M the exhaustive scan still wins
-(405k vs ~148k) — probing pays where the database dwarfs the query batch.
+whose epilogue computes norms in-kernel, and the window-block rescore —
+measured ~71-91k QPS at 10M×128d vs ~64k exhaustive (BENCH_r04 /
+`.scratch/repl4.out` E9). At 1M the exhaustive scan still wins (405k vs
+~150k) — probing pays where the database dwarfs the query batch. Window
+minima stay f32: the bf16 variant collapsed recall (see probe_pallas).
 """
 
 from __future__ import annotations
@@ -493,6 +494,8 @@ def probe_scan(
     gs: int = 16,
     rt: int = 512,
     interpret: bool = False,
+    rescore_rows: Optional[jnp.ndarray] = None,   # (n, D) bf16 flat DB
+    rescore_norms: Optional[jnp.ndarray] = None,  # (n,) f32 (+inf deleted)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused dispatch: probe → MoE dispatch → Pallas group-min scan →
     per-query window merge → block rescore of the winner windows.
@@ -588,9 +591,30 @@ def probe_scan(
     score = score.reshape(nq, m * gs)
     rows = blk_ids.reshape(nq, m * gs)
     qn = jnp.sum(qp * qp, axis=1)
-    kk = min(k, m * gs)
+    kk = min(k if rescore_rows is None else 2 * k, m * gs)
     top_s, post = jax.lax.top_k(score, kk)                 # k ≤ 2k·gs = m·gs
     top_i = jnp.take_along_axis(rows, post, axis=1)
+    if rescore_rows is not None:
+        # Second-stage EXACT rescore (int8 buckets only): the stage-1
+        # selection is in the int8-reconstruction metric, whose per-row
+        # noise costs ~1 recall pt at 10M (BENCH r4 try3: 0.2314 vs 0.2423
+        # exhaustive). Re-scoring the top 2k candidates against the flat
+        # bf16 decoded DB (a tiny k-row gather — the DB is resident
+        # whenever the decoded tier is) recovers it and makes the returned
+        # distances identical in kind to the decoded backend's.
+        safe = jnp.maximum(top_i, 0)
+        rr = rescore_rows[safe]                            # (nq, kk, D)
+        inner2 = jnp.einsum("qd,qkd->qk", qp.astype(jnp.bfloat16),
+                            rr.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        score2 = 2.0 * inner2 - rescore_norms[safe]
+        top_s0 = top_s
+        kk2 = min(k, kk)
+        top_s, post2 = jax.lax.top_k(
+            jnp.where(jnp.isfinite(top_s0) & (top_i >= 0), score2,
+                      -jnp.inf), kk2)
+        top_i = jnp.take_along_axis(top_i, post2, axis=1)
+        kk = kk2
     if kk < k:
         top_s = jnp.pad(top_s, ((0, 0), (0, k - kk)),
                         constant_values=-jnp.inf)
@@ -625,7 +649,7 @@ class IVFSearcher:
         # correctness is gs-independent (window rescore, see probe_scan), so
         # scale gs ∝ cap and clamp to [8, 64]
         gs = 8
-        while gs < 64 and st.cap // gs > 480:
+        while gs < 64 and st.cap // gs > 240:
             gs *= 2
         # Small batches get strict capacity (qcap = nq: no entry can ever
         # drop); large throughput batches use ~2× mean-demand slack, where
@@ -653,11 +677,20 @@ class IVFSearcher:
         qp = jnp.asarray(qp)
         p_visit, p_max, qcap, gs, rt = self.params(k, qp.shape[0])
         interpret = jax.default_backend() != "tpu"
+        # second-stage exact rescore against the flat decoded DB — only
+        # worthwhile for int8 buckets (bf16 buckets ARE the decoded rows),
+        # and only when the decoded tier is already resident (never force
+        # _ensure_decoded: at 100M it cannot exist)
+        r_rows = r_norms = None
+        if st.dim_scales is not None and index is not None and \
+                getattr(index, "decoded", None) is not None:
+            r_rows, r_norms = index.decoded, index.decoded_norms
         return probe_scan(qp, jnp.asarray(st.centroids), st.bucket_rows,
                           st.bucket_norms, st.bucket_ids, st.sizes,
                           k, p_visit, p_max, qcap,
                           dim_scales=st.dim_scales, exact=exact, gs=gs,
-                          rt=rt, interpret=interpret)
+                          rt=rt, interpret=interpret,
+                          rescore_rows=r_rows, rescore_norms=r_norms)
 
 
 class ShardedIVF:
@@ -732,7 +765,7 @@ class ShardedIVF:
             p_floor = max(p_floor, int(np.searchsorted(cum, k) + 1))
         p_max = min(ncl_l, max(p_visit, p_floor))
         gs = 8
-        while gs < 64 and self.cap // gs > 480:
+        while gs < 64 and self.cap // gs > 240:
             gs *= 2
         qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl_l)
         qcap_p = -(-min(qcap, nq) // 128) * 128

@@ -57,14 +57,17 @@ def _parity_scores_ids(fn, *args, rtol: float = 1e-4) -> Tuple[bool, dict]:
     return score_ok and ties_ok and frac_ok, detail
 
 
-def _parity_groupmin(rtol: float = 1e-4) -> Tuple[bool, dict]:
+def _parity_groupmin(rtol: float = 5e-4) -> Tuple[bool, dict]:
     """Compiled-vs-interpreted gate for the IVF group-min probe kernel
     (VERDICT r3 #3: it shipped in r3 without any compiled-path coverage and
     failed Mosaic lowering on the first real-chip run). Exercises BOTH
     tiling regimes — ntiles=1 (whole-bucket slab, the 1M shape) and
     ntiles>1 — and both row dtypes. Values are f32 group minima; the
-    in-kernel ‖q‖² lane reduction may legally reassociate under Mosaic, so
-    the gate is rtol-based like the decode-then-dot one."""
+    in-kernel lane reductions (‖q‖², weighted ‖x̂‖²) may legally
+    reassociate under Mosaic, and the distance is a small difference of
+    large terms, so reassociation ulps amplify — measured 1.03e-4 max rel
+    on v5e (BENCH r4). The 5e-4 gate still catches real miscompiles
+    (those produce garbage, not sub-1e-3)."""
     from vaq_tpu.ops import probe_pallas
 
     detail = {}
@@ -92,13 +95,9 @@ def _parity_groupmin(rtol: float = 1e-4) -> Tuple[bool, dict]:
             qsl, rows, dim_w, ncl, cap, gs=gs, rt=rt, interpret=True),
             dtype=np.float32)
         rel = np.abs(out_c - out_i) / np.maximum(np.abs(out_i), 1e-20)
-        # bf16 output: Mosaic may legally reassociate the f32 reductions,
-        # so values within 1 bf16 ulp (≤ ~0.8% rel) on a small fraction of
-        # entries are rounding, not a miscompile
-        ok = bool(np.all(rel < 1e-2)) and bool((rel > rtol).mean() < 0.01)
+        ok = bool(np.all(rel < rtol))
         if not ok:
-            detail[tag] = {"max_rel_diff": float(rel.max()),
-                           "frac_above_rtol": float((rel > rtol).mean())}
+            detail[tag] = {"max_rel_diff": float(rel.max())}
         ok_all = ok_all and ok
     return ok_all, detail
 

@@ -115,7 +115,7 @@ def pick_row_tile(cap: int, gs: int, qcap_p: int, d: int,
     for rt in range(512, cap + 1, 512):
         if cap % rt or rt % gs:
             continue
-        bytes_needed = 2 * rt * d * itemsize + 2 * (rt // gs) * qcap_p * 2
+        bytes_needed = 2 * rt * d * itemsize + 2 * (rt // gs) * qcap_p * 4
         if bytes_needed <= _SLAB_BUDGET:
             best = rt
     return best
@@ -152,12 +152,14 @@ def _groupmin_kernel(qsl_ref, w_ref, rows_ref, out_ref, *, gs, it):
         rf = rows.astype(jnp.float32)
         xn = jnp.sum(rf * rf * w, axis=1, keepdims=True)   # (it, 1) ‖x̂‖²
         dist = (dot + xn) + qn
-        # bf16 output: the mins only RANK windows (the block rescore is
-        # exact), and halving the (ncl·ng·qcap) output cuts the merge's
-        # transpose+gather traffic in half. Cast after the reduce — 1/gs
-        # of the data.
+        # f32 output, deliberately: a bf16 min was tried (halves merge
+        # traffic, same kernel speed) and COLLAPSED recall at the 1M/10M
+        # bench (0.32→0.23 / 0.24→0.15) — the distances carry a large
+        # per-query constant (for int8 rows qn is ‖q/s‖², scale-inflated),
+        # so bf16's 8 mantissa bits round away the inter-window gaps.
+        # gs=64 recovers the merge traffic instead (ivf.IVFSearcher.params).
         out_ref[i * (it // gs):(i + 1) * (it // gs), :] = jnp.min(
-            dist.reshape(it // gs, gs, qcap), axis=1).astype(jnp.bfloat16)
+            dist.reshape(it // gs, gs, qcap), axis=1)
 
 
 @functools.partial(jax.jit,
@@ -174,7 +176,7 @@ def groupmin_window_scan(
 ) -> jnp.ndarray:
     """Per-(cluster, query-slot, gs-row group) min squared distances.
 
-    Returns (ncl, ng, qcapP) bf16 with ng = cap // gs (ranking-quality
+    Returns (ncl, ng, qcapP) f32 with ng = cap // gs (window-ranking
     values; exact distances come from the caller's block rescore). Grid is
     (ncl, cap // rt): row slabs stream HBM→VMEM while each cluster's query
     slab stays resident across its tiles.
@@ -199,7 +201,7 @@ def groupmin_window_scan(
         out_specs=pl.BlockSpec((rt // gs, qcap),
                                lambda c, t: (c * (cap // rt) + t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ncl * ng, qcap), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((ncl * ng, qcap), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
