@@ -101,6 +101,13 @@ def main():
     p.add_argument("--train-sample", type=int, default=262_144)
     p.add_argument("--save-index", action="store_true",
                    help="persist the index npz (multi-GB fetch at 100M)")
+    p.add_argument("--only-ivf", action="store_true",
+                   help="run ONLY the IVF probe section in this process "
+                        "(requires a prior --save-index run; a fresh "
+                        "process gives the ~13 GB bucket upload an "
+                        "unfragmented HBM pool — the full flow's earlier "
+                        "tier benches fragment it and the upload OOMs). "
+                        "Merges its fields into CAPACITY_100M.json.")
     args = p.parse_args()
 
     from vaq_tpu.cli import apply_platform_env
@@ -125,10 +132,20 @@ def main():
     if args.source == "device":
         src = DeviceChunkSource(args.n, args.d, args.chunk)
         chunk_fn = src.chunk
-        queries = src.queries(args.queries)
-        train_sample = src.host_sample(args.train_sample)
+        q_cache = os.path.join(args.workdir,
+                               f"queries_{args.n}_{args.queries}.npy")
+        if os.path.exists(q_cache):
+            # cached: keeps the --only-ivf retry path free of ANY device
+            # work before the ~13 GB bucket upload (this backend frees
+            # transients lazily; even one 0.8 GB chunk-gen next to the
+            # upload has tipped HBM over)
+            queries = np.load(q_cache)
+        else:
+            queries = src.queries(args.queries)
+            np.save(q_cache, queries)
+        train_sample = None  # loaded lazily only when building
         log(f"device source ready: {time.perf_counter() - t_src:.0f}s "
-            f"({src.n_chunks} chunks, sample {train_sample.shape})")
+            f"({src.n_chunks} chunks)")
     else:
         data_path = os.path.join(args.workdir,
                                  f"base_{args.n}x{args.d}.f32")
@@ -154,12 +171,17 @@ def main():
     # Build: train on the sample, stream-encode all chunks
     # ------------------------------------------------------------------
     idx_path = os.path.join(args.workdir, f"index_{args.n}.npz")
+    stage_path = os.path.join(args.workdir, f"ivf_stage_{args.n}.npz")
     if os.path.exists(idx_path):
-        idx = vaq_tpu.VAQIndex.load(idx_path)
-        log("index cached")
+        # probe-only + cached staging never needs the codes on device
+        with_codes = not (args.only_ivf and os.path.exists(stage_path))
+        idx = vaq_tpu.VAQIndex.load(idx_path, with_codes=with_codes)
+        log(f"index cached (codes {'loaded' if with_codes else 'skipped'})")
         build_s = None
     else:
         t0 = time.perf_counter()
+        if train_sample is None:
+            train_sample = src.host_sample(args.train_sample)
         idx = vaq_tpu.VAQIndex(cfg).train(train_sample, verbose=True)
         idx.encode_chunks(chunk_fn, args.n, args.chunk, verbose=True)
         build_s = time.perf_counter() - t0
@@ -194,16 +216,27 @@ def main():
         float(jnp.sum(q))
         return time.perf_counter() - t0
 
+    n_batch = int(qb.shape[0])  # honest divisor: qb may hold fewer rows
+    #                             than --batch when --queries is smaller
+
     def measure(step, iters=8):
         chain(step, 1)
         t1 = min(chain(step, 1) for _ in range(2))
         tn = min(chain(step, iters) for _ in range(2))
         ms = (tn - t1) / (iters - 1) * 1000.0
-        return args.batch / (ms / 1000.0), ms
+        return n_batch / (ms / 1000.0), ms
 
+    cap_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "CAPACITY_100M.json")
     out = {"metric": f"capacity tiers at {args.n} x {args.d}d",
            "n": args.n, "d": args.d, "config": args.config,
            "source": args.source, "unit": "qps"}
+    if args.only_ivf:
+        # merge into the existing artifact so the final JSON is complete
+        if os.path.exists(cap_json):
+            with open(cap_json) as f:
+                out = json.load(f)
+            out.pop("ivf_error", None)
     if build_s is not None:
         out["build_s"] = round(build_s, 1)
 
@@ -212,42 +245,46 @@ def main():
     def lut_step(q):
         return idx.search_device(q, args.k, backend="codes")
 
-    lut_qps, lut_ms = measure(lut_step, iters=4)
-    dl, ll = lut_step(jnp.asarray(queries))
-    recl = metrics.avg_recall(np.asarray(ll), gt, args.k)
-    log(f"codes tier: {lut_qps:.1f} QPS ({lut_ms:.1f}ms/batch) "
-        f"recall@{args.k}={recl:.4f}")
-    out["lut_qps"] = round(lut_qps, 1)
-    out["lut_recall_at_k"] = round(recl, 4)
+    if args.only_ivf:
+        lut_qps = None  # tiers measured by the main run
+    else:
+        lut_qps, lut_ms = measure(lut_step, iters=4)
+    if not args.only_ivf:
+        dl, ll = lut_step(jnp.asarray(queries))
+        recl = metrics.avg_recall(np.asarray(ll), gt, args.k)
+        log(f"codes tier: {lut_qps:.1f} QPS ({lut_ms:.1f}ms/batch) "
+            f"recall@{args.k}={recl:.4f}")
+        out["lut_qps"] = round(lut_qps, 1)
+        out["lut_recall_at_k"] = round(recl, 4)
 
-    # --- decoded8 tier (96 B/row int8 matmul scan) ---
-    t0 = time.perf_counter()
-    idx._ensure_decoded8(block_rows=divisor_block(args.n))
-    log(f"decoded8 materialize: {time.perf_counter() - t0:.0f}s")
-    d8_qps, d8_ms = measure(
-        lambda q: idx.search_device(q, args.k, backend="decoded8"))
-    _, l8 = idx.search_device(jnp.asarray(queries), args.k,
-                              backend="decoded8")
-    rec8 = metrics.avg_recall(np.asarray(l8), gt, args.k)
-    log(f"decoded8: {d8_qps:.0f} QPS ({d8_ms:.1f}ms/batch) "
-        f"recall@{args.k}={rec8:.4f}")
-    out["decoded8_qps"] = round(d8_qps, 1)
-    out["decoded8_recall_at_k"] = round(rec8, 4)
+        # --- decoded8 tier (96 B/row int8 matmul scan) ---
+        t0 = time.perf_counter()
+        idx._ensure_decoded8(block_rows=divisor_block(args.n))
+        log(f"decoded8 materialize: {time.perf_counter() - t0:.0f}s")
+        d8_qps, d8_ms = measure(
+            lambda q: idx.search_device(q, args.k, backend="decoded8"))
+        _, l8 = idx.search_device(jnp.asarray(queries), args.k,
+                                  backend="decoded8")
+        rec8 = metrics.avg_recall(np.asarray(l8), gt, args.k)
+        log(f"decoded8: {d8_qps:.0f} QPS ({d8_ms:.1f}ms/batch) "
+            f"recall@{args.k}={rec8:.4f}")
+        out["decoded8_qps"] = round(d8_qps, 1)
+        out["decoded8_recall_at_k"] = round(rec8, 4)
 
-    # --- refined recall (decoded8 candidates -> exact rerank R -> k), the
-    # reference's Fig. 11 refine sweep (refine 100-500,
-    # ExperimentsParameters.txt:114-124) ---
-    for r_depth in (100, 500):
-        _, cand = idx.search_device(jnp.asarray(queries), r_depth,
-                                    backend="decoded8")
-        _, refined = exact_rescore_chunked(queries, np.asarray(cand),
-                                           chunk_fn, args.n, args.chunk,
-                                           args.k)
-        rec_ref = metrics.avg_recall(refined, gt, args.k)
-        key = ("refined_recall_at_k" if r_depth == 100
-               else f"refined{r_depth}_recall_at_k")
-        out[key] = round(rec_ref, 4)
-        log(f"refined({r_depth}->{args.k}): {rec_ref:.4f}")
+        # --- refined recall (decoded8 candidates -> exact rerank R -> k),
+        # the reference's Fig. 11 refine sweep (refine 100-500,
+        # ExperimentsParameters.txt:114-124) ---
+        for r_depth in (100, 500):
+            _, cand = idx.search_device(jnp.asarray(queries), r_depth,
+                                        backend="decoded8")
+            _, refined = exact_rescore_chunked(queries, np.asarray(cand),
+                                               chunk_fn, args.n, args.chunk,
+                                               args.k)
+            rec_ref = metrics.avg_recall(refined, gt, args.k)
+            key = ("refined_recall_at_k" if r_depth == 100
+                   else f"refined{r_depth}_recall_at_k")
+            out[key] = round(rec_ref, 4)
+            log(f"refined({r_depth}->{args.k}): {rec_ref:.4f}")
 
     # --- IVF cluster-probe tier (VERDICT r3 #5: the Fig. 11 visit sweep
     # 25/10/5% at 100M, ExperimentsParameters.txt:114-124). Streamed build:
@@ -260,12 +297,18 @@ def main():
         from vaq_tpu.ivf import IVFSearcher, build_ivf_streamed
 
         idx.decoded8 = idx.decoded8_scales = idx.decoded8_norms = None
+        if args.only_ivf and os.path.exists(stage_path):
+            # cached staging needs no codes at all — keep the device as
+            # empty as possible before the ~13 GB bucket allocation
+            idx.codes = None
         import gc
         gc.collect()
         t0 = time.perf_counter()
         state = build_ivf_streamed(
             idx, verbose=True, ti_cluster_num=1000, ti_segment_num=16,
-            chunk_rows=args.chunk, free_codes_before_upload=True)
+            chunk_rows=args.chunk, free_codes_before_upload=True,
+            balance_cap_factor=1.0,  # padding is pure HBM at this scale
+            stage_cache=stage_path)
         out["ivf_build_s"] = round(time.perf_counter() - t0, 1)
         log(f"ivf streamed build: {out['ivf_build_s']}s "
             f"(cap={state.cap}, HBM={state.bucket_rows.nbytes / 1e9:.1f} GB"
@@ -296,15 +339,16 @@ def main():
         out["ivf_recall_at_k"] = best["recall_at_k"]
         out["ivf_visit"] = best["visit"]
     except Exception as e:  # noqa: BLE001 — keep the tiers above
+        import traceback
         log(f"ivf section failed: {e!r}")
+        log(traceback.format_exc())
         out["ivf_error"] = repr(e)
 
-    out["value"] = out["decoded8_qps"]
+    out["value"] = out.get("decoded8_qps") or out.get("ivf_qps") or 0.0
     out["vs_baseline"] = 1.0
     line = json.dumps(out)
     print(line)
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
-                           "CAPACITY_100M.json"), "w") as f:
+    with open(cap_json, "w") as f:
         f.write(line + "\n")
 
 

@@ -111,8 +111,6 @@ def make_state(n=10_000_000, d=128, ncl=1000, nq=1024, k=10, visit=0.05,
         1e15, db_rows.dtype)
     st.bucket_rows = jnp.where(
         live[:, :, None], db_rows[safe].reshape(ncl, cap, d), sentinel)
-    st.bucket_norms = jnp.where(live, db_norms[safe].reshape(ncl, cap),
-                                jnp.inf)
     st.sizes = live.sum(axis=1).astype(jnp.int32)
     del db_rows, db_norms
 
@@ -123,7 +121,7 @@ def make_state(n=10_000_000, d=128, ncl=1000, nq=1024, k=10, visit=0.05,
     # static params exactly as IVFSearcher.params
     state = IVFState(centroids=np.zeros((ncl, seg_dims), np.float32),
                      seg_dims=seg_dims, cap=cap, bucket_rows=st.bucket_rows,
-                     bucket_norms=st.bucket_norms, bucket_ids=st.bucket_ids,
+                     bucket_ids=st.bucket_ids,
                      sizes=st.sizes, dim_scales=st.dim_scales)
     st.p_visit, st.p_max, st.qcap, st.gs, st.rt = IVFSearcher(
         state, visit).params(k, nq)
@@ -176,19 +174,23 @@ def stage_merge(mins, probe, ok, ent_c, ent_r, nq, k, p_max, gs, qcap_p,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "gs"))
-def stage_rescore(wblk, w_ok, qp, bucket_rows, bucket_norms, bucket_ids,
+def stage_rescore(wblk, w_ok, qp, bucket_rows, bucket_ids,
                   dim_scales, k, gs):
     nq, m = wblk.shape
     ncl, cap, d = bucket_rows.shape
     ng = cap // gs
     q_eff = qp if dim_scales is None else qp / dim_scales[None, :]
+    dim_w = (jnp.ones((d,), jnp.float32) if dim_scales is None
+             else 1.0 / (dim_scales * dim_scales))
     blk_rows = bucket_rows.reshape(ncl * ng, gs, d)[wblk]
-    blk_norms = bucket_norms.reshape(ncl * ng, gs)[wblk]
     blk_ids = bucket_ids.reshape(ncl * ng, gs)[wblk]
     inner = jnp.einsum("qd,qmgd->qmg", q_eff.astype(jnp.bfloat16),
                        blk_rows.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    score = jnp.where(w_ok[:, :, None], 2.0 * inner - blk_norms, -jnp.inf)
+    brf = blk_rows.astype(jnp.float32)
+    blk_norms = jnp.einsum("qmgd,d->qmg", brf * brf, dim_w)
+    score = jnp.where(w_ok[:, :, None] & (blk_ids >= 0),
+                      2.0 * inner - blk_norms, -jnp.inf)
     score = score.reshape(nq, m * gs)
     rows = blk_ids.reshape(nq, m * gs)
     qn = jnp.sum(qp * qp, axis=1)
@@ -240,14 +242,14 @@ def run(st, iters=8, exact=False, gs=None, rt=None):
     wblk, w_ok = jax.block_until_ready(merge_fn(st.qp))
 
     def rescore_fn(q):
-        return stage_rescore(wblk, w_ok, q, st.bucket_rows, st.bucket_norms,
+        return stage_rescore(wblk, w_ok, q, st.bucket_rows,
                              st.bucket_ids, st.dim_scales, st.k, gs)
 
     res["rescore"] = t_ms(rescore_fn, st.qp, iters)
     log(f"block rescore: {res['rescore']:.2f} ms")
 
     def full_fn(q):
-        return probe_scan(q, st.centroids, st.bucket_rows, st.bucket_norms,
+        return probe_scan(q, st.centroids, st.bucket_rows,
                           st.bucket_ids, st.sizes, st.k, st.p_visit,
                           st.p_max, st.qcap, dim_scales=st.dim_scales,
                           exact=exact, gs=gs, rt=rt)

@@ -37,6 +37,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 import time
 from typing import Optional, Tuple
 
@@ -62,12 +63,12 @@ class IVFState:
     #                              default: per-dim scaled, HBM-roofline
     #                              term halved vs bf16) or bf16; padding
     #                              and deleted slots hold sentinels
-    bucket_norms: jnp.ndarray    # (ncl, cap) f32 (+inf padding/deleted):
-    #                              exact norms of the STORED reconstruction
-    bucket_ids: jnp.ndarray      # (ncl, cap) i32 (-1 padding)
+    bucket_ids: jnp.ndarray      # (ncl, cap) i32 (-1 padding/deleted)
     sizes: jnp.ndarray           # (ncl,) i32 live member counts
     dim_scales: Optional[jnp.ndarray] = None  # (D,) f32 for int8 rows:
     #                              x̂ = bucket_rows / dim_scales
+    # NOTE: no norms array — the rescore derives exact norms from the
+    # gathered blocks (0.43 GB saved at 100M; see probe_scan)
 
     @property
     def ncl(self) -> int:
@@ -254,13 +255,14 @@ def build_ivf(index, verbose: bool = False,
         rows_dev = jnp.where(live[:, :, None],
                              flat8[safe].reshape(ncl, cap, d_full),
                              poison[None, None, :])
-        bnorms = jnp.where(live, norms8[safe].reshape(ncl, cap), jnp.inf)
         del flat8, norms8
     else:
         rows_dev = jnp.where(
             live[:, :, None], dec_dev[safe].reshape(ncl, cap, d_full),
             jnp.asarray(1e15, dec_dev.dtype))
-        bnorms = jnp.where(live, norms_dev[safe].reshape(ncl, cap), jnp.inf)
+    # ids mark dead slots (padding AND pre-build tombstones) with -1 — the
+    # rescore's exactness contract
+    bids_dev = jnp.where(live, bids_dev, -1)
     live = live.sum(axis=1).astype(jnp.int32)
 
     return IVFState(
@@ -268,7 +270,6 @@ def build_ivf(index, verbose: bool = False,
         seg_dims=seg_dims,
         cap=cap,
         bucket_rows=rows_dev,
-        bucket_norms=bnorms,
         bucket_ids=bids_dev,
         sizes=live,
         dim_scales=dim_scales,
@@ -333,7 +334,8 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
                        ti_segment_num: Optional[int] = None,
                        sample_n: int = 2_000_000,
                        chunk_rows: int = 2_000_000,
-                       free_codes_before_upload: bool = False) -> IVFState:
+                       free_codes_before_upload: bool = False,
+                       stage_cache: Optional[str] = None) -> IVFState:
     """100M-scale int8 bucket build (VERDICT r3 #5): stream-decode from the
     resident codes, stage buckets on HOST, upload once.
 
@@ -366,16 +368,37 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
                             else ti_segment_num))
     from vaq_tpu.ops import scan_decoded
 
+    d_full = index.total_dim
+    ncl = int(cfg.ti_cluster_num)
+    if ncl <= 0:
+        raise ConfigError("ti_cluster_num must be set for the TI/IVF method")
+
+    # Optional staging cache: the three streamed passes cost ~40 min at
+    # 100M; a cached (buf, bids, sizes, centroids) bundle lets a retry jump
+    # straight to the upload (the step HBM pressure can still break). The
+    # cached path never touches the codes — callers may even have set
+    # index.codes = None to keep the device empty for the big allocation.
+    if stage_cache and os.path.exists(stage_cache):
+        z = np.load(stage_cache)
+        buf, bids = z["buf"], z["bids"]
+        sizes, cl_cents_np = z["sizes"], z["cents"]
+        cap = int(z["cap"][0])
+        seg_dims = int(z["seg_dims"][0])
+        dim_scales = jnp.asarray(z["dim_scales"])
+        if verbose:
+            print(f"== ivf-streamed: staging loaded from {stage_cache}")
+        if free_codes_before_upload:
+            index.codes = None
+        return _upload_ivf_state(index, buf, bids, sizes, cl_cents_np, cap,
+                                 seg_dims, dim_scales, ncl, d_full,
+                                 False, verbose)
+
     codes = index.codes                          # (M, n) device
     m, n = codes.shape
-    d_full = index.total_dim
     l = index.subs_len
     seg_subs = resolve_seg_num(cfg, index.cum_var_per_subs,
                                index.highest_subs)
     seg_dims = min(seg_subs, index.highest_subs) * l
-    ncl = int(cfg.ti_cluster_num)
-    if ncl <= 0:
-        raise ConfigError("ti_cluster_num must be set for the TI/IVF method")
     cents_dev = jnp.asarray(index.centroids)
     n_chunks = -(-n // chunk_rows)
 
@@ -385,16 +408,27 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
     dmax = cents_fin.max(axis=1).reshape(-1)[:d_full]
     dim_scales = jnp.asarray(127.0 / np.maximum(dmax, 1e-30), np.float32)
 
+    # codes/centroids/scales are ARGUMENTS, not closures: a jitted closure
+    # over the 3.2 GB codes array lowers it as a program constant, which
+    # the remote compile transport rejects (r4: "Broken pipe" at 100M)
     @functools.partial(jax.jit, static_argnames=("rows", "prefix_only"))
-    def decode_chunk(start, rows, prefix_only=False):
-        blk = jax.lax.dynamic_slice_in_dim(codes, start, rows, axis=1)
-        dec, _ = scan_decoded.decode_db(blk, cents_dev, block_rows=rows)
+    def decode_chunk_fn(codes_a, cents_a, scales_a, start, rows,
+                        prefix_only=False):
+        blk = jax.lax.dynamic_slice_in_dim(codes_a, start, rows, axis=1)
+        # keep decode_db's internal 64k blocking: its per-subspace gather
+        # intermediate is (M·nb, L) and lane-pads L→128, so nb must stay
+        # small (nb=rows at 100M meant a 15 GB padded temp — r4 OOM)
+        dec, _ = scan_decoded.decode_db(blk, cents_a,
+                                        block_rows=min(65536, rows))
         if prefix_only:
             return dec[:, :seg_dims].astype(jnp.float32)
         q8 = jnp.clip(jnp.round(dec.astype(jnp.float32)
-                                * dim_scales[None, :]), -127, 127)
-        deq = q8 / dim_scales[None, :]
-        return q8.astype(jnp.int8), jnp.sum(deq * deq, axis=1)
+                                * scales_a[None, :]), -127, 127)
+        return q8.astype(jnp.int8)
+
+    def decode_chunk(start, rows, prefix_only=False):
+        return decode_chunk_fn(codes, cents_dev, dim_scales, start, rows,
+                               prefix_only=prefix_only)
 
     # ---- pass 1: sampled prefix → k-means centroids ----
     t0 = time.perf_counter()
@@ -431,6 +465,8 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
         pre = decode_chunk(jnp.int32(i * chunk_rows), rows,
                            prefix_only=True)
         cand[i * chunk_rows:i * chunk_rows + rows] = np.asarray(_topS(pre))
+    del pre  # the last chunk's device array must not outlive the pass:
+    #          every 100 MB matters next to the ~13 GB bucket upload
     cap = _round_cap(max(1, int(math.ceil(balance_cap_factor * n / ncl))))
     assign = _fill_capacity(cand, ncl, cap)
     del cand
@@ -444,33 +480,65 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
     t0 = time.perf_counter()
     poison = probe_pallas.poison_pattern(d_full)
     buf = np.broadcast_to(poison, (ncl * cap, d_full)).copy()
-    nbuf = np.full(ncl * cap, np.inf, dtype=np.float32)
     for i in range(n_chunks):
         rows = min(chunk_rows, n - i * chunk_rows)
-        q8, nn = decode_chunk(jnp.int32(i * chunk_rows), rows)
+        q8 = decode_chunk(jnp.int32(i * chunk_rows), rows)
         sl = dest[i * chunk_rows:i * chunk_rows + rows]
         buf[sl] = np.asarray(q8)
-        nbuf[sl] = np.asarray(nn)
+    del q8  # as above
     if verbose:
         print(f"== ivf-streamed: staging {time.perf_counter() - t0:.0f}s")
 
-    # ---- pass 4: upload ----
-    t0 = time.perf_counter()
     cents_np = np.asarray(cl_cents)
+    del cl_cents
+    if stage_cache:
+        np.savez(stage_cache, buf=buf, bids=bids, sizes=sizes,
+                 cents=cents_np, cap=np.array([cap]),
+                 seg_dims=np.array([seg_dims]),
+                 dim_scales=np.asarray(dim_scales))
+        if verbose:
+            print(f"== ivf-streamed: staging cached to {stage_cache}")
     if free_codes_before_upload:
         index.codes = None
         del codes
+    return _upload_ivf_state(index, buf, bids, sizes, cents_np, cap,
+                             seg_dims, dim_scales, ncl, d_full,
+                             False, verbose)
+
+
+def _upload_ivf_state(index, buf, bids, sizes, cents_np, cap, seg_dims,
+                      dim_scales, ncl, d_full, free_codes, verbose):
+    """Pass 4 of the streamed build: chunked upload (a single device_put
+    of the ~13 GB bucket buffer needs a transfer double that OOMed HBM at
+    100M; donated dynamic updates keep the peak at buckets + one chunk)."""
+    t0 = time.perf_counter()
+    if free_codes:
+        index.codes = None
+    import gc
+    gc.collect()
+    if verbose:
+        live = sum(a.nbytes for a in jax.live_arrays()) / 1e9
+        print(f"== ivf-streamed: live device bytes before upload: "
+              f"{live:.2f} GB (logical)")
+
+    # ONE device_put of the whole staged buffer: the chunked
+    # zeros+dynamic-update variant kept OOMing here — each chunk's
+    # host→device staging buffer is deallocated LAZILY by this backend, so
+    # they accumulate next to the 13 GB destination regardless of
+    # serialization. A single transfer needs exactly one destination
+    # allocation and no device-side staging.
+    rows_dev = jax.block_until_ready(
+        jnp.asarray(buf)).reshape(ncl, cap, d_full)
+    del buf
     state = IVFState(
         centroids=cents_np,
         seg_dims=seg_dims,
         cap=cap,
-        bucket_rows=jnp.asarray(buf).reshape(ncl, cap, d_full),
-        bucket_norms=jnp.asarray(nbuf).reshape(ncl, cap),
+        bucket_rows=rows_dev,
         bucket_ids=jnp.asarray(bids),
         sizes=jnp.asarray(sizes),
-        dim_scales=dim_scales,
+        dim_scales=jnp.asarray(dim_scales),
     )
-    jax.block_until_ready(state.bucket_rows)
     if verbose:
         print(f"== ivf-streamed: upload {time.perf_counter() - t0:.0f}s")
     return state
@@ -482,8 +550,7 @@ def probe_scan(
     qp: jnp.ndarray,           # (nq, D) projected queries
     centroids: jnp.ndarray,    # (ncl, seg_dims)
     bucket_rows: jnp.ndarray,  # (ncl, cap, D) int8|bf16 (sentinel-padded)
-    bucket_norms: jnp.ndarray,  # (ncl, cap) f32 (+inf padding/deleted)
-    bucket_ids: jnp.ndarray,    # (ncl, cap) i32 (-1 padding)
+    bucket_ids: jnp.ndarray,    # (ncl, cap) i32 (-1 padding/deleted)
     sizes: jnp.ndarray,         # (ncl,) live member counts
     k: int,
     p_visit: int,
@@ -520,8 +587,12 @@ def probe_scan(
     0.39 vs 0.90 recall on the 4k-row fixture before this fix). Remaining
     approximation: bf16/int8 scoring ties and the visit budget itself — the
     same contract as the reference's TI break (VAQ.cpp:1548-1551). Deleted
-    rows carry +inf bucket_norms, so they rescore to −inf score and are
-    filtered exactly (BitVecEngine.cpp:1626-1636 semantics).
+    and padding slots carry bucket_ids = −1 and are masked to −inf in the
+    rescore, so they are filtered exactly (BitVecEngine.cpp:1626-1636
+    semantics). Row norms are DERIVED in the rescore from the gathered
+    blocks — exact for both tiers (int8 integers and bf16 values square
+    exactly in f32) — so no (ncl, cap) norms array exists at all (it cost
+    0.43 GB of the 100M HBM budget).
     """
     nq, d_full = qp.shape
     ncl, cap = bucket_ids.shape
@@ -581,13 +652,17 @@ def probe_scan(
     # NOTE: do NOT "flatten" these to (ncl·ng, gs·d) row gathers — that
     # reshape retiles the whole bucket array (measured +10 ms at 10M).
     blk_rows = bucket_rows.reshape(ncl * ng, gs, d_full)[wblk]
-    blk_norms = bucket_norms.reshape(ncl * ng, gs)[wblk]   # (nq, m, gs)
-    blk_ids = bucket_ids.reshape(ncl * ng, gs)[wblk]
+    blk_ids = bucket_ids.reshape(ncl * ng, gs)[wblk]       # (nq, m, gs)
     inner = jnp.einsum("qd,qmgd->qmg",
                        q_eff.astype(jnp.bfloat16),
                        blk_rows.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-    score = jnp.where(w_ok[:, :, None], 2.0 * inner - blk_norms, -jnp.inf)
+    # derived norms of the stored reconstruction (exact in f32; see
+    # docstring); dead slots (ids −1) mask to −inf
+    brf = blk_rows.astype(jnp.float32)
+    blk_norms = jnp.einsum("qmgd,d->qmg", brf * brf, dim_w)
+    score = jnp.where(w_ok[:, :, None] & (blk_ids >= 0),
+                      2.0 * inner - blk_norms, -jnp.inf)
     score = score.reshape(nq, m * gs)
     rows = blk_ids.reshape(nq, m * gs)
     qn = jnp.sum(qp * qp, axis=1)
@@ -647,9 +722,10 @@ class IVFSearcher:
         # group size trades the kernel's min-output traffic
         # (ncl·cap/gs·qcap·4 B) against the block rescore (2k·gs rows/query);
         # correctness is gs-independent (window rescore, see probe_scan), so
-        # scale gs ∝ cap and clamp to [8, 64]
+        # scale gs ∝ cap, up to 256 (the 100M caps need it: at gs=64 the
+        # mins array + its merge transpose alone cost ~3.4 GB)
         gs = 8
-        while gs < 64 and st.cap // gs > 240:
+        while gs < 256 and st.cap // gs > 240:
             gs *= 2
         # Small batches get strict capacity (qcap = nq: no entry can ever
         # drop); large throughput batches use ~2× mean-demand slack, where
@@ -686,7 +762,7 @@ class IVFSearcher:
                 getattr(index, "decoded", None) is not None:
             r_rows, r_norms = index.decoded, index.decoded_norms
         return probe_scan(qp, jnp.asarray(st.centroids), st.bucket_rows,
-                          st.bucket_norms, st.bucket_ids, st.sizes,
+                          st.bucket_ids, st.sizes,
                           k, p_visit, p_max, qcap,
                           dim_scales=st.dim_scales, exact=exact, gs=gs,
                           rt=rt, interpret=interpret,
@@ -742,12 +818,9 @@ class ShardedIVF:
              pad_row((padc, state.cap, state.bucket_rows.shape[2]),
                      state.bucket_rows.dtype)]) if padc else \
             state.bucket_rows
-        norms = jnp.pad(state.bucket_norms, ((0, padc), (0, 0)),
-                        constant_values=np.inf)
         ids = jnp.pad(state.bucket_ids, ((0, padc), (0, 0)),
                       constant_values=-1)
         self.rows = put(rows, P("db", None, None))
-        self.norms = put(norms, P("db", None))
         self.ids = put(ids, P("db", None))
         self.sizes = put(jnp.asarray(sizes_np.astype(np.int32)), P("db"))
         self.centroids = put(jnp.asarray(cents), P("db", None))
@@ -765,7 +838,7 @@ class ShardedIVF:
             p_floor = max(p_floor, int(np.searchsorted(cum, k) + 1))
         p_max = min(ncl_l, max(p_visit, p_floor))
         gs = 8
-        while gs < 64 and self.cap // gs > 240:
+        while gs < 256 and self.cap // gs > 240:
             gs *= 2
         qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl_l)
         qcap_p = -(-min(qcap, nq) // 128) * 128
@@ -781,7 +854,7 @@ class ShardedIVF:
         p_visit, p_max, qcap, gs, rt = self.params(k, qp.shape[0])
         interpret = jax.default_backend() != "tpu"
         return sharded_ivf_search(
-            self.centroids, self.rows, self.norms, self.ids, self.sizes,
+            self.centroids, self.rows, self.ids, self.sizes,
             self.dim_scales, qp, k, self.mesh, p_visit, p_max, qcap, gs,
             rt, exact=exact, interpret=interpret, q_axis=self.q_axis)
 

@@ -42,9 +42,9 @@ Round-4 redesign, driven by on-chip bisection at the 10M bench shape
   ``(√B − ‖q‖)² + …`` with B = Σ max_d² ranks at or above every realistic
   row, so poisoned slots lose the group-min against live rows. This is a
   *ranking* guard only — exactness of the final output does not depend on
-  it, because the block rescore reads ``bucket_norms`` (+inf on
-  padding/deleted slots) and scores them −inf, so a poison row can never
-  be returned (BitVecEngine.cpp:1626-1636 delete semantics).
+  it, because the block rescore masks slots with ``bucket_ids == -1``
+  (padding and deletions) to −inf, so a poison row can never be returned
+  (BitVecEngine.cpp:1626-1636 delete semantics).
 
 The r3 packed argmin-index epilogue (iota/AND/OR/bitcast int) is gone —
 the window rescore never consumed the index, and the f32 min makes the
@@ -83,7 +83,7 @@ def poison_pattern(d: int, dim_scales=None) -> np.ndarray:
     Its reconstruction has the maximum possible norm B = Σ_d max_d², and
     the alternating signs keep |q·x̂_pad| small for natural queries, so its
     distance ranks at/above every live row. (Ranking guard only — the
-    rescore masks poisoned slots exactly via +inf bucket_norms.)
+    rescore masks poisoned slots exactly via bucket_ids == -1.)
     """
     pat = np.full((d,), 127, dtype=np.int8)
     pat[1::2] = -127

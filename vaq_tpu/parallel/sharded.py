@@ -271,7 +271,6 @@ def sharded_codes_search(
 def sharded_ivf_search(
     centroids: jnp.ndarray,     # (ncl_pad, seg_dims) cluster-sharded
     bucket_rows: jnp.ndarray,   # (ncl_pad, cap, D) int8|bf16
-    bucket_norms: jnp.ndarray,  # (ncl_pad, cap) f32
     bucket_ids: jnp.ndarray,    # (ncl_pad, cap) i32 — GLOBAL row ids
     sizes: jnp.ndarray,         # (ncl_pad,) i32
     dim_scales,                 # (D,) f32 or None (int8 rows only)
@@ -310,14 +309,14 @@ def sharded_ivf_search(
     scales_spec = (P(None),) if dim_scales is not None else ()
     scales_arg = (dim_scales,) if dim_scales is not None else ()
 
-    def local(cents_l, rows_l, norms_l, ids_l, sizes_l, *rest):
+    def local(cents_l, rows_l, ids_l, sizes_l, *rest):
         if dim_scales is not None:
             scales_l, qp_l = rest
         else:
             (qp_l,) = rest
             scales_l = None
         d, i = ivf_mod.probe_scan(
-            qp_l, cents_l, rows_l, norms_l, ids_l, sizes_l, k,
+            qp_l, cents_l, rows_l, ids_l, sizes_l, k,
             p_visit, p_max, qcap, dim_scales=scales_l, exact=exact,
             gs=gs, rt=rt, interpret=interpret)
         return _local_topk_merge(d, i, k, db_axis)
@@ -326,11 +325,11 @@ def sharded_ivf_search(
         local,
         mesh=mesh,
         in_specs=(P(db_axis, None), P(db_axis, None, None),
-                  P(db_axis, None), P(db_axis, None), P(db_axis),
+                  P(db_axis, None), P(db_axis),
                   *scales_spec, q_spec),
         out_specs=out_spec,
         check_vma=False,
-    )(centroids, bucket_rows, bucket_norms, bucket_ids, sizes,
+    )(centroids, bucket_rows, bucket_ids, sizes,
       *scales_arg, qp)
 
 

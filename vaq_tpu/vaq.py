@@ -881,7 +881,6 @@ class VAQIndex:
             if flat.size:
                 r, c = np.divmod(flat, st.bucket_ids.shape[1])
                 r_d, c_d = jnp.asarray(r), jnp.asarray(c)
-                st.bucket_norms = st.bucket_norms.at[r_d, c_d].set(jnp.inf)
                 st.bucket_ids = st.bucket_ids.at[r_d, c_d].set(-1)
                 # poison the row values too: the group-min kernel ranks by
                 # values (norms are computed in-kernel), so a deleted row
@@ -901,7 +900,6 @@ class VAQIndex:
                     # keep the cluster-sharded copy consistent (same slot
                     # coordinates — padding clusters are appended after ncl)
                     siv = self._sharded_ivf
-                    siv.norms = siv.norms.at[r_d, c_d].set(jnp.inf)
                     siv.ids = siv.ids.at[r_d, c_d].set(-1)
                     siv.rows = siv.rows.at[r_d, c_d].set(poison_row)
                     dec_p = np.pad(dec, (0, siv.sizes.shape[0] - st.ncl))
@@ -1140,8 +1138,15 @@ class VAQIndex:
         return idx
 
     @classmethod
-    def load(cls, path: str) -> "VAQIndex":
+    def load(cls, path: str, with_codes: bool = True) -> "VAQIndex":
+        """``with_codes=False`` skips the device upload of the codes —
+        for flows that serve a different tier (e.g. the 100M probe-only
+        path, where every HBM byte is needed for the bucket arrays and
+        even a freed 3.2 GB codes transient can linger in the client's
+        deferred deallocation)."""
         arrays, meta = io.load_index_npz(path)
+        if not with_codes:
+            arrays.pop("codes", None)
         cfg_d = dict(meta["config"])
         cfg_d["methods"] = SearchMethod(cfg_d["methods"])
         if cfg_d.get("hardcoded_bits"):
