@@ -28,6 +28,66 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+#: Keys allowed on the one stdout JSON line, in priority order (the driver
+#: captures only ~2000 chars of output, and BENCH_r03/r04 both lost their
+#: parsed headline to an over-long line — VERDICT r4 #1). Array-valued
+#: fields (sweeps, per-run samples) go to the bench_runs/ sidecar only.
+_STDOUT_KEYS = (
+    "metric", "value", "unit", "vs_baseline",
+    "recall_at_10", "recall_at_100", "recall_at_10_refined",
+    "batch_latency_ms", "n", "config",
+    "value_spread_pct", "value_unstable",
+    "kernel_parity_ok", "oracle_delta_recall",
+    "ivf_qps", "ivf_recall_at_k", "ivf_visit",
+    "tenm_qps", "tenm_recall_at_k",
+    "tenm_ivf_qps", "tenm_ivf_visit", "tenm_ivf_recall_at_k",
+    "tenm_ivf_all_beat_exhaustive",
+    "tenm_codes_qps", "tenm_codes_recall_at_k",
+    "codes_qps", "codes_recall_at_k", "fast4_qps", "fast4_recall_at_k",
+    "decoded8_qps", "hamming_qps",
+    "serving_knee_qps", "serving_p50_ms", "serving_p95_ms",
+    "codes_serving_knee_qps",
+    "build_s", "tenm_build_s", "tenm_n", "widebits_qps",
+    "widebits_recall_at_k",
+)
+_STDOUT_BUDGET = 1900  # stay under the driver's 2000-char capture window
+
+
+def slim_line(out: dict) -> str:
+    """The stdout JSON line: whitelisted scalar fields + truncated errors,
+    trimmed from the tail of the priority list if it would still exceed the
+    driver's capture window. The full dict goes to the sidecar file."""
+    slim = {k: out[k] for k in _STDOUT_KEYS if k in out}
+    for k, v in out.items():
+        if k.endswith("_error"):
+            slim[k] = str(v)[:80]
+    line = json.dumps(slim)
+    while len(line) > _STDOUT_BUDGET:
+        for k in reversed(_STDOUT_KEYS):
+            if k in slim and k not in ("metric", "value", "unit",
+                                       "vs_baseline"):
+                del slim[k]
+                break
+        else:
+            break
+        line = json.dumps(slim)
+    return line
+
+
+def write_sidecar(out: dict) -> None:
+    """Full (unslimmed) result dict → bench_runs/last_full.json."""
+    try:
+        side_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "bench_runs")
+        os.makedirs(side_dir, exist_ok=True)
+        path = os.path.join(side_dir, "last_full.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        log(f"full bench record written to {path}")
+    except OSError as e:
+        log(f"sidecar write failed: {e!r}")
+
+
 def chain_time(step_fn, qb_dev, iters):
     """Chained-dependency timing: each iteration's query batch depends on
     the previous result so the device cannot reorder or elide work; one tiny
@@ -666,7 +726,23 @@ def main():
             log(f"second-scale section failed: {e!r}")
             out["tenm_error"] = repr(e)
 
-    print(json.dumps(out))
+    # Flatten the 10M IVF sweep to its best point for the stdout line
+    # (VERDICT r4 #5 "Done" wants every committed run's sweep to beat
+    # tenm_qps — record that predicate inline; the full sweep stays in the
+    # sidecar).
+    sweep = out.get("tenm_ivf_sweep")
+    if sweep:
+        best = max(sweep, key=lambda s: s["qps"])
+        out["tenm_ivf_qps"] = best["qps"]
+        out["tenm_ivf_visit"] = best["visit"]
+        out["tenm_ivf_recall_at_k"] = best["recall_at_k"]
+        tx = out.get("tenm_qps")
+        if tx:
+            out["tenm_ivf_all_beat_exhaustive"] = bool(
+                min(s["qps"] for s in sweep if s["visit"] <= 0.1) > tx)
+
+    write_sidecar(out)
+    print(slim_line(out))
 
 
 if __name__ == "__main__":
