@@ -148,3 +148,34 @@ def test_streamed_build_matches_standard(ti_index):
     r_s = metrics.avg_recall(np.asarray(lab_s), gt, 20)
     r_r = metrics.avg_recall(np.asarray(lab_r), gt, 20)
     assert abs(r_s - r_r) < 0.05, (r_s, r_r)
+
+
+def test_streamed_build_respects_tombstones(sift_like):
+    """ADVICE r4 medium: build_ivf_streamed on an index with prior deletions
+    must not serve the deleted rows (VAQIndex.search skips the tombstone
+    post-filter on the TI path, so the probe state itself must mask them —
+    the bucket_ids == -1 contract)."""
+    from vaq_tpu.ivf import IVFSearcher, build_ivf_streamed
+
+    base, queries, gt = sift_like
+    cfg = parse_method_string("VAQ128m16min7max8var1,TI32m16")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    # delete every groundtruth top-1 of the first 16 queries: without
+    # masking, these rows WILL come back as neighbors
+    dead = np.unique(gt[:16, 0])
+    idx.delete(dead)
+
+    st = build_ivf_streamed(idx, chunk_rows=1000, sample_n=2000)
+    ids = np.asarray(st.bucket_ids)
+    assert not np.isin(ids[ids >= 0], dead).any()
+    # live counts exclude tombstones
+    assert np.asarray(st.sizes).sum() == base.shape[0] - dead.size
+
+    import jax.numpy as jnp
+
+    from vaq_tpu import pca
+    searcher = IVFSearcher(st, visit=1.0)
+    qp = pca.project(queries[:16], idx.eigvecs, idx.total_dim)
+    d, lab = searcher.search(idx, jnp.asarray(qp), None, 10)
+    lab = np.asarray(lab)
+    assert not np.isin(lab[lab >= 0], dead).any()

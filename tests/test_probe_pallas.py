@@ -90,6 +90,42 @@ def test_groupmin_padding_ranks_last(dtype):
         assert (pad_win >= probe_pallas.SENTINEL_DIST).all()
 
 
+def test_window_minima_must_stay_f32():
+    """Pin the r4 recall-collapse class (VERDICT r4 #6): bench-shaped
+    window minima carry a large per-query constant (for int8 buckets qn is
+    ‖q/s‖², scale-inflated to ~10⁴), so bf16's 8 mantissa bits quantize
+    away the O(1) inter-window gaps and the top-m window selection
+    collapses (measured on chip in r4: recall 0.32→0.23 at 1M). This test
+    reproduces that candidate-set degradation on CPU in milliseconds so the
+    next precision experiment fails here, not after a full TPU bench."""
+    rng = np.random.default_rng(7)
+    ng, gs, k = 4096, 16, 10
+    # bench-shaped distances: offset ~1e4 (the int8 scale-inflated ‖q/s‖²
+    # constant), inter-row spread O(1..100)
+    d = (1e4 + 50.0 * rng.gamma(2.0, 2.0, size=(ng * gs,))).astype(
+        np.float32)
+    true_top = np.argsort(d)[:k]
+    true_windows = set(true_top // gs)
+    mins_f32 = d.reshape(ng, gs).min(axis=1)
+    m = 2 * k
+
+    def window_recall(mins):
+        top_w = set(np.argsort(mins, kind="stable")[:m].tolist())
+        return len(true_windows & top_w) / len(true_windows)
+
+    assert window_recall(mins_f32) == 1.0
+    mins_bf16 = np.asarray(
+        jnp.asarray(mins_f32).astype(jnp.bfloat16).astype(jnp.float32))
+    # bf16 step at 1e4 is ~64: the gaps quantize to ties and the selection
+    # degrades — this is the collapse the kernel's f32 output prevents
+    assert window_recall(mins_bf16) < 0.8
+    # and the kernel must actually emit f32 minima
+    qsl, rows, dim_w = _make_inputs(2, 512, 128, 128, "int8")
+    out = probe_pallas.groupmin_window_scan(
+        qsl, rows, dim_w, 2, 512, gs=8, rt=512, interpret=True)
+    assert out.dtype == jnp.float32
+
+
 def test_pick_inner_tile_respects_budget_and_divisibility():
     # large qcap must shrink the tile (ADVICE r3 low #3)
     small = probe_pallas.pick_inner_tile(15360, 32, 1024, 128)
@@ -107,6 +143,29 @@ def test_pick_row_tile_fits_vmem():
                                (1536, 8, 128, 1), (1536, 8, 1024, 2),
                                (104960, 64, 128, 1)]:
         rt = probe_pallas.pick_row_tile(cap, gs, qcap, 128, isz)
-        assert cap % rt == 0 and rt % gs == 0 and rt % 512 == 0
+        assert cap % rt == 0 and rt % (8 * gs) == 0 and rt % 512 == 0
         assert (2 * rt * 128 * isz + 2 * (rt // gs) * qcap * 2
                 <= probe_pallas._SLAB_BUDGET) or rt == 512
+
+
+def test_pick_row_tile_mosaic_legality():
+    """ADVICE r4 medium: the out BlockSpec is (rt//gs, qcap) and Mosaic
+    needs its second-to-minor dim divisible by 8. cap = 512·33 at gs=128
+    has no admissible rt (every divisor gives rt//gs ≡ 4 mod 8) — the
+    picker must return None and pick_gs_rt must back off to a legal gs."""
+    cap = 512 * 33  # 16896, a real _round_cap output (cap ≤ 32768 → q=512)
+    assert probe_pallas.pick_row_tile(cap, 128, 128, 96, 1) is None
+    gs, rt = probe_pallas.pick_gs_rt(cap, 128, 96, 1)
+    assert rt is not None and cap % rt == 0 and rt % (8 * gs) == 0
+    assert gs <= 64  # backed off from the 128 the 240-window rule wants
+
+
+def test_pick_gs_rt_prefers_large_groups_when_legal():
+    # cap = 2^k: gs reaches the window-count target and rt stays legal
+    for cap in (32768, 131072):
+        gs, rt = probe_pallas.pick_gs_rt(cap, 128, 96, 1)
+        assert gs == 256  # the window-count target drives gs to the cap
+        assert cap % rt == 0 and rt % (8 * gs) == 0
+    # tiny caps keep gs = 8 and the minimum tile
+    gs, rt = probe_pallas.pick_gs_rt(512, 128, 128, 2)
+    assert (gs, rt) == (8, 512)

@@ -166,31 +166,7 @@ def build_ivf(index, verbose: bool = False,
         for start in range(0, n, blk):
             cand[start:start + blk] = np.asarray(
                 _topS(prefix[start:start + blk]))
-        # round-based greedy fill (vectorized): in round j, unplaced rows
-        # claim their j-th nearest cluster; each cluster admits claimants up
-        # to its remaining space in row order
-        fill = np.zeros(ncl, dtype=np.int64)
-        assign = np.full(n, -1, dtype=np.int64)
-        for j in range(s_cand):
-            un = np.flatnonzero(assign < 0)
-            if un.size == 0:
-                break
-            choice = cand[un, j]
-            order = np.argsort(choice, kind="stable")
-            sorted_choice = choice[order]
-            seg_start = np.searchsorted(sorted_choice, sorted_choice,
-                                        side="left")
-            rank = np.arange(un.size) - seg_start
-            take = rank < (cap - fill)[sorted_choice]
-            taken_rows = un[order[take]]
-            taken_cl = sorted_choice[take]
-            assign[taken_rows] = taken_cl
-            fill += np.bincount(taken_cl, minlength=ncl)
-        spill = np.flatnonzero(assign < 0)
-        if spill.size:  # extremely skewed data: fill remaining space
-            space = np.maximum(cap - fill, 0)
-            slots = np.repeat(np.arange(ncl), space)
-            assign[spill] = slots[: spill.size]
+        assign = _fill_capacity(cand, ncl, cap)
     sizes = np.bincount(assign, minlength=ncl)
     cap = _round_cap(int(max(cap, sizes.max())))  # Pallas tile granularity
     #                             (padding slots carry sentinel/poison rows
@@ -204,12 +180,7 @@ def build_ivf(index, verbose: bool = False,
     # loop), then ONE device gather materializes the padded buckets from the
     # already-resident decoded DB
     del prefix  # free the f32 projection before materializing buckets
-    bids = np.full((ncl, cap), -1, dtype=np.int32)
-    order = np.argsort(assign, kind="stable")
-    sorted_assign = assign[order]
-    seg_start = np.searchsorted(sorted_assign, sorted_assign, side="left")
-    rank = np.arange(n) - seg_start
-    bids[sorted_assign, rank] = order.astype(np.int32)
+    bids, _ = _bucket_slots(assign, ncl, cap)
 
     bids_dev = jnp.asarray(bids)
     safe = jnp.maximum(bids_dev, 0).reshape(-1)
@@ -231,31 +202,31 @@ def build_ivf(index, verbose: bool = False,
                                  dtype=np.float32)
         poison = jnp.asarray(probe_pallas.poison_pattern(d_full))
 
+        # (norms are NOT computed here — the probe derives exact norms from
+        # the gathered blocks in-kernel/in-rescore; ADVICE r4 low: the old
+        # per-block norms were dead device compute + a donated output)
         @jax.jit
         def _quant_block(rows):
             q8 = jnp.clip(jnp.round(rows.astype(jnp.float32)
                                     * dim_scales[None, :]), -127, 127)
-            deq = q8 / dim_scales[None, :]
-            return q8.astype(jnp.int8), jnp.sum(deq * deq, axis=1)
+            return q8.astype(jnp.int8)
 
         blk = 1 << 21
         flat8 = jnp.zeros((n, d_full), jnp.int8)
-        norms8 = jnp.zeros((n,), jnp.float32)
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def _write(buf, nbuf, q8, nq8, start):
-            return (jax.lax.dynamic_update_slice(buf, q8, (start, 0)),
-                    jax.lax.dynamic_update_slice(nbuf, nq8, (start,)))
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _write(buf, q8, start):
+            return jax.lax.dynamic_update_slice(buf, q8, (start, 0))
 
         for start in range(0, n, blk):
-            q8, nq8 = _quant_block(dec_dev[start:start + blk])
-            flat8, norms8 = _write(flat8, norms8, q8, nq8, start)
+            flat8 = _write(flat8, _quant_block(dec_dev[start:start + blk]),
+                           start)
         # padding/deleted slots hold the max-norm POISON pattern (ranking
-        # guard; the rescore masks them exactly via the +inf norms below)
+        # guard; the rescore masks them exactly via bucket_ids == -1)
         rows_dev = jnp.where(live[:, :, None],
                              flat8[safe].reshape(ncl, cap, d_full),
                              poison[None, None, :])
-        del flat8, norms8
+        del flat8
     else:
         rows_dev = jnp.where(
             live[:, :, None], dec_dev[safe].reshape(ncl, cap, d_full),
@@ -472,6 +443,18 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
     del cand
     bids, dest = _bucket_slots(assign, ncl, cap)
     sizes = np.bincount(assign, minlength=ncl).astype(np.int32)
+    # Tombstones (ADVICE r4 medium): rows deleted before the build must not
+    # be served — build_ivf drops them via the decoded norms, but this path
+    # never materializes norms, so mask their slots dead (ids −1 is the
+    # rescore's exactness contract) and keep them out of the live counts
+    # the visit rule uses. Their staged rows are poisoned below.
+    deleted = getattr(index, "deleted_ids", None)
+    dd = (np.asarray(deleted, dtype=np.int64)
+          if deleted is not None and len(deleted) else None)
+    if dd is not None:
+        bids.reshape(-1)[dest[dd]] = -1
+        sizes = sizes - np.bincount(
+            assign[dd], minlength=ncl).astype(np.int32)
     if verbose:
         print(f"== ivf-streamed: assignment {time.perf_counter() - t0:.0f}s"
               f" (cap={cap}, sizes min/max={sizes.min()}/{sizes.max()})")
@@ -486,6 +469,8 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
         sl = dest[i * chunk_rows:i * chunk_rows + rows]
         buf[sl] = np.asarray(q8)
     del q8  # as above
+    if dd is not None:
+        buf[dest[dd]] = poison  # deleted rows: ranking guard (ids already -1)
     if verbose:
         print(f"== ivf-streamed: staging {time.perf_counter() - t0:.0f}s")
 
@@ -507,10 +492,23 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
 
 
 def _upload_ivf_state(index, buf, bids, sizes, cents_np, cap, seg_dims,
-                      dim_scales, ncl, d_full, free_codes, verbose):
-    """Pass 4 of the streamed build: chunked upload (a single device_put
-    of the ~13 GB bucket buffer needs a transfer double that OOMed HBM at
-    100M; donated dynamic updates keep the peak at buckets + one chunk)."""
+                      dim_scales, ncl, d_full, free_codes, verbose,
+                      chunk_bytes: int = 1 << 29):
+    """Pass 4 of the streamed build (r5 redesign, VERDICT r4 #2).
+
+    Upload-OOM history: r3's chunked donated updates OOMed because each
+    chunk's host→device staging buffer is deallocated LAZILY by this
+    backend (they piled up next to the 13 GB destination); r4's single
+    whole-buffer ``jnp.asarray`` then left the 10 GB transfer's own staging
+    pending, and the FOLLOWING 0.4 GB ``jnp.asarray(bucket_ids)`` OOMed
+    (.scratch/repl5.out). This version (a) uploads the small arrays (ids /
+    sizes / scales) FIRST, while the pool is empty, and (b) streams the
+    rows in ~0.5 GB donated ``dynamic_update_slice`` chunks with a forced
+    scalar fetch after each one — the only reliable sync on this backend
+    (CLAUDE.md: block_until_ready can return early) — so at most one
+    staging chunk is pending next to the destination. Peak HBM =
+    destination + O(chunk), vs destination + full transfer staging before.
+    """
     t0 = time.perf_counter()
     if free_codes:
         index.codes = None
@@ -521,23 +519,40 @@ def _upload_ivf_state(index, buf, bids, sizes, cents_np, cap, seg_dims,
         print(f"== ivf-streamed: live device bytes before upload: "
               f"{live:.2f} GB (logical)")
 
-    # ONE device_put of the whole staged buffer: the chunked
-    # zeros+dynamic-update variant kept OOMing here — each chunk's
-    # host→device staging buffer is deallocated LAZILY by this backend, so
-    # they accumulate next to the 13 GB destination regardless of
-    # serialization. A single transfer needs exactly one destination
-    # allocation and no device-side staging.
-    rows_dev = jax.block_until_ready(
-        jnp.asarray(buf)).reshape(ncl, cap, d_full)
+    # small arrays first — nothing big is in flight yet
+    bids_dev = jnp.asarray(bids)
+    sizes_dev = jnp.asarray(sizes)
+    scales_dev = jnp.asarray(dim_scales)
+    float(jnp.sum(sizes_dev))  # drain
+
+    nflat = ncl * cap
+    rows_dev = jnp.zeros((nflat, d_full), buf.dtype)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _upd(dst, chunk, start):
+        return jax.lax.dynamic_update_slice(dst, chunk, (start, 0))
+
+    ch = max(1, chunk_bytes // max(1, d_full * buf.dtype.itemsize))
+    ch = min(ch, nflat)
+    for a in range(0, nflat, ch):
+        rows = min(ch, nflat - a)
+        h = jnp.asarray(buf[a:a + rows])
+        rows_dev = _upd(rows_dev, h, jnp.int32(a))
+        del h
+        # force completion so the backend can retire this chunk's staging
+        # buffer before the next transfer starts (fixed index: the fetch
+        # program stays jit-cached across chunks)
+        float(rows_dev[0, 0])
     del buf
+    rows_dev = rows_dev.reshape(ncl, cap, d_full)
     state = IVFState(
         centroids=cents_np,
         seg_dims=seg_dims,
         cap=cap,
         bucket_rows=rows_dev,
-        bucket_ids=jnp.asarray(bids),
-        sizes=jnp.asarray(sizes),
-        dim_scales=jnp.asarray(dim_scales),
+        bucket_ids=bids_dev,
+        sizes=sizes_dev,
+        dim_scales=scales_dev,
     )
     if verbose:
         print(f"== ivf-streamed: upload {time.perf_counter() - t0:.0f}s")
@@ -719,28 +734,24 @@ class IVFSearcher:
         cum = np.cumsum(np.sort(sizes))
         p_floor = int(np.searchsorted(cum, k) + 1)
         p_max = min(ncl, max(p_visit, p_floor))
-        # group size trades the kernel's min-output traffic
-        # (ncl·cap/gs·qcap·4 B) against the block rescore (2k·gs rows/query);
-        # correctness is gs-independent (window rescore, see probe_scan), so
-        # scale gs ∝ cap, up to 256 (the 100M caps need it: at gs=64 the
-        # mins array + its merge transpose alone cost ~3.4 GB)
-        gs = 8
-        while gs < 256 and st.cap // gs > 240:
-            gs *= 2
         # Small batches get strict capacity (qcap = nq: no entry can ever
         # drop); large throughput batches use ~2× mean-demand slack, where
         # drops require pathologically correlated queries (documented in
         # ops/probe.py).
         qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl)
-        # Row tile: as large as the VMEM budget allows (double-buffered slab
-        # + output block, see probe_pallas.pick_row_tile). Small tiles
-        # multiply grid steps — rt=512 at the 10M shapes meant 30k steps
-        # whose fixed per-step cost dominated the kernel (17.8 ms vs a
-        # ~6 ms roofline, r3 bisection).
+        # Group size trades the kernel's min-output traffic
+        # (ncl·cap/gs·qcap·4 B) against the block rescore (2k·gs rows/query);
+        # correctness is gs-independent (window rescore, see probe_scan), so
+        # gs scales ∝ cap up to 256 (the 100M caps need it: at gs=64 the
+        # mins array + its merge transpose alone cost ~3.4 GB). The row tile
+        # is as large as the VMEM budget allows — small tiles multiply grid
+        # steps (rt=512 at the 10M shapes meant 30k steps whose fixed cost
+        # dominated the kernel, r3 bisection). pick_gs_rt backs gs off when
+        # cap admits no Mosaic-legal rt at the preferred gs (ADVICE r4).
         d_full = st.bucket_rows.shape[2]
         qcap_p = -(-min(qcap, nq) // 128) * 128
-        rt = probe_pallas.pick_row_tile(
-            st.cap, gs, qcap_p, d_full, st.bucket_rows.dtype.itemsize)
+        gs, rt = probe_pallas.pick_gs_rt(
+            st.cap, qcap_p, d_full, st.bucket_rows.dtype.itemsize)
         return p_visit, p_max, qcap, gs, rt
 
     def probes(self, k: int) -> int:
@@ -779,9 +790,19 @@ class ShardedIVF:
     probe + group-min scan + window rescore, merged by the k-row
     all_gather. Bucket ids are already global, so the merge needs no
     offsets. The visit fraction applies per shard (same total budget).
+
+    ``rescore_rows``/``rescore_norms`` (the ROW-sharded decoded tier, e.g.
+    ``VAQIndex._sharded_decoded``) enable the exact second-stage rescore
+    (VERDICT r4 #4): stage-1 top-2k in the int8 metric, distributed exact
+    scoring of the merged candidates (see sharded_ivf_search). Without
+    them the int8 tier serves stage-1 selection (~1 recall pt worse at
+    10M, BENCH r4).
     """
 
-    def __init__(self, state: IVFState, visit: float, mesh, q_axis=None):
+    def __init__(self, state: IVFState, visit: float, mesh, q_axis=None,
+                 rescore_rows=None, rescore_norms=None):
+        self.rescore_rows = rescore_rows
+        self.rescore_norms = rescore_norms
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
@@ -837,13 +858,10 @@ class ShardedIVF:
             cum = np.cumsum(srt)
             p_floor = max(p_floor, int(np.searchsorted(cum, k) + 1))
         p_max = min(ncl_l, max(p_visit, p_floor))
-        gs = 8
-        while gs < 256 and self.cap // gs > 240:
-            gs *= 2
         qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl_l)
         qcap_p = -(-min(qcap, nq) // 128) * 128
-        rt = probe_pallas.pick_row_tile(
-            self.cap, gs, qcap_p, self.rows.shape[2],
+        gs, rt = probe_pallas.pick_gs_rt(
+            self.cap, qcap_p, self.rows.shape[2],
             self.rows.dtype.itemsize)
         return p_visit, p_max, qcap, gs, rt
 
@@ -853,10 +871,16 @@ class ShardedIVF:
         qp = jnp.asarray(qp)
         p_visit, p_max, qcap, gs, rt = self.params(k, qp.shape[0])
         interpret = jax.default_backend() != "tpu"
+        # exact second-stage rescore only pays for int8 buckets (bf16
+        # buckets already ARE the decoded rows)
+        r_rows = r_norms = None
+        if self.dim_scales is not None and self.rescore_rows is not None:
+            r_rows, r_norms = self.rescore_rows, self.rescore_norms
         return sharded_ivf_search(
             self.centroids, self.rows, self.ids, self.sizes,
             self.dim_scales, qp, k, self.mesh, p_visit, p_max, qcap, gs,
-            rt, exact=exact, interpret=interpret, q_axis=self.q_axis)
+            rt, exact=exact, interpret=interpret, q_axis=self.q_axis,
+            rescore_rows=r_rows, rescore_norms=r_norms)
 
 
 def attach_ivf(index, verbose: bool = False,

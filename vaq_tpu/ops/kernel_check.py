@@ -57,17 +57,58 @@ def _parity_scores_ids(fn, *args, rtol: float = 1e-4) -> Tuple[bool, dict]:
     return score_ok and ties_ok and frac_ok, detail
 
 
-def _parity_groupmin(rtol: float = 5e-4) -> Tuple[bool, dict]:
-    """Compiled-vs-interpreted gate for the IVF group-min probe kernel
+def groupmin_ref64_and_bound(qsl, rows_np, dim_w, ncl, cap, gs):
+    """Float64 reference for the group-min kernel plus a per-output
+    reassociation-error BOUND derived from the data (VERDICT r4 #6: the
+    gate's tolerance must be anchored, not widened post-hoc).
+
+    The kernel computes, per (cluster, row, slot),
+    ``dist = Σ_d (q̃·r̃) + Σ_d r̃²·w + 0.25·Σ_d q̃²`` with q̃, r̃ the bf16-cast
+    inputs (bf16 products are exact in f32; only the f32 ACCUMULATION order
+    is implementation-defined), then a min over each gs-row group. Any
+    reassociation of an n-term f32 sum differs from the exact sum by at
+    most ``(n−1)·u·Σ|terms|`` (u = 2⁻²⁴), and a min over values each
+    perturbed by ≤ e moves by ≤ e. So
+    ``bound[c,g,s] = u·(d−1)·(max_{row∈g}(Σ|q̃r̃| + Σr̃²w) + 0.25Σq̃²)``
+    is a sound envelope for BOTH the compiled and interpreted outputs
+    around the f64 reference — no measured-on-chip constant involved.
+
+    rows_np: the bf16-cast row values as float64 (int8 values are exact in
+    bf16, so callers pass the raw integers cast to f64).
+    Returns (ref64 (ncl, ng, qcap), bound (ncl, ng, qcap)) as float64.
+    """
+    d = rows_np.shape[1]
+    q = np.asarray(qsl, dtype=np.float64)                     # (ncl,qcap,d)
+    r = rows_np.reshape(ncl, cap, d)
+    w = np.asarray(dim_w, dtype=np.float64)
+    dot = np.einsum("cqd,crd->crq", q, r)                     # exact-ish f64
+    xn = np.sum(r * r * w[None, None, :], axis=2)             # (ncl, cap)
+    qn = 0.25 * np.sum(q * q, axis=2)                         # (ncl, qcap)
+    dist = dot + xn[:, :, None] + qn[:, None, :]
+    ref = dist.reshape(ncl, cap // gs, gs, -1).min(axis=2)
+    mag = (np.einsum("cqd,crd->crq", np.abs(q), np.abs(r))
+           + xn[:, :, None] + qn[:, None, :])
+    u = 2.0 ** -24
+    bound = u * (d - 1) * mag.reshape(ncl, cap // gs, gs, -1).max(axis=2)
+    return ref, bound
+
+
+def _parity_groupmin() -> Tuple[bool, dict]:
+    """Compiled-vs-f64-anchored gate for the IVF group-min probe kernel
     (VERDICT r3 #3: it shipped in r3 without any compiled-path coverage and
-    failed Mosaic lowering on the first real-chip run). Exercises BOTH
-    tiling regimes — ntiles=1 (whole-bucket slab, the 1M shape) and
-    ntiles>1 — and both row dtypes. Values are f32 group minima; the
-    in-kernel lane reductions (‖q‖², weighted ‖x̂‖²) may legally
-    reassociate under Mosaic, and the distance is a small difference of
-    large terms, so reassociation ulps amplify — measured 1.03e-4 max rel
-    on v5e (BENCH r4). The 5e-4 gate still catches real miscompiles
-    (those produce garbage, not sub-1e-3)."""
+    failed Mosaic lowering on the first real-chip run). Exercises ntiles=1
+    (whole-bucket slab, the 1M shape), ntiles>1, the gs ≥ 128 large-cap
+    regime (ADVICE r4: its (rt//gs, qcap) out block is a distinct Mosaic
+    tiling), and both row dtypes.
+
+    Gate (VERDICT r4 #6): compiled and interpreted outputs must each lie
+    within the data-derived reassociation envelope of the f64 reference
+    (see :func:`groupmin_ref64_and_bound`) with a 4× safety factor for the
+    min-selection crossover (a min may pick a different row within the
+    envelope, compounding two elements' errors plus double rounding of the
+    f32 store). The interpreted path measures ≤ 0.4% of the limit on CPU;
+    a real lowering miscompile produces errors orders of magnitude past
+    the envelope."""
     from vaq_tpu.ops import probe_pallas
 
     detail = {}
@@ -76,29 +117,36 @@ def _parity_groupmin(rtol: float = 5e-4) -> Tuple[bool, dict]:
     for tag, (ncl, cap, rt, gs, qcap, dtype) in {
         "1tile_int8": (8, 1536, 1536, 8, 128, "int8"),
         "ntile_bf16": (4, 1024, 512, 16, 128, "bf16"),
+        "gs128_int8": (4, 2048, 2048, 128, 128, "int8"),
     }.items():
         d = 128
         rows = rng.standard_normal((ncl * cap, d)).astype(np.float32)
         if dtype == "int8":
             rows = np.clip(np.round(rows * 32.0), -127, 127).astype(np.int8)
+            rows_np = rows.astype(np.float64)  # int8 exact in bf16
             rows = jnp.asarray(rows)
             dim_w = jnp.full((d,), 1.0 / (32.0 * 32.0), jnp.float32)
         else:
             rows = jnp.asarray(rows).astype(jnp.bfloat16)
+            rows_np = np.asarray(rows, dtype=np.float64)
             dim_w = jnp.ones((d,), jnp.float32)
         qsl = jnp.asarray((-2.0 * rng.standard_normal(
             (ncl, qcap, d))).astype(jnp.bfloat16))
-        out_c = np.asarray(probe_pallas.groupmin_window_scan(
-            qsl, rows, dim_w, ncl, cap, gs=gs, rt=rt, interpret=False),
-            dtype=np.float32)
-        out_i = np.asarray(probe_pallas.groupmin_window_scan(
-            qsl, rows, dim_w, ncl, cap, gs=gs, rt=rt, interpret=True),
-            dtype=np.float32)
-        rel = np.abs(out_c - out_i) / np.maximum(np.abs(out_i), 1e-20)
-        ok = bool(np.all(rel < rtol))
-        if not ok:
-            detail[tag] = {"max_rel_diff": float(rel.max())}
-        ok_all = ok_all and ok
+        ref, bound = groupmin_ref64_and_bound(
+            qsl, rows_np, dim_w, ncl, cap, gs)
+        limit = 4.0 * np.maximum(bound, 1e-12)
+        for mode, interp in (("compiled", False), ("interp", True)):
+            out = np.asarray(probe_pallas.groupmin_window_scan(
+                qsl, rows, dim_w, ncl, cap, gs=gs, rt=rt,
+                interpret=interp), dtype=np.float64)
+            err = np.abs(out - ref)
+            ok = bool(np.all(err <= limit))
+            ratio = float((err / limit).max())
+            if not ok:
+                detail[f"{tag}_{mode}"] = {
+                    "max_err_over_limit": round(ratio, 3),
+                    "max_abs_err": float(err.max())}
+            ok_all = ok_all and ok
     return ok_all, detail
 
 

@@ -103,22 +103,49 @@ def pick_inner_tile(rt: int, gs: int, qcap_p: int, d: int) -> int:
 
 
 def pick_row_tile(cap: int, gs: int, qcap_p: int, d: int,
-                  itemsize: int) -> int:
+                  itemsize: int):
     """Largest row-slab tile (a multiple of 512 dividing ``cap``) whose
-    double-buffered slab + output block fit _SLAB_BUDGET.
+    double-buffered slab + output block fit _SLAB_BUDGET, or None when no
+    Mosaic-legal tile exists for this (cap, gs).
 
     Large slabs matter: grid steps carry a fixed cost that dominated the
     10M bench at rt=512 (30k steps — 12.2 ms vs 7.4 ms whole-bucket slabs,
     r4 bisection), so rt should be as large as VMEM allows.
+
+    Mosaic legality (ADVICE r4): the output block is (rt // gs, qcap) on a
+    (ncl·ng, qcap) array, and the second-to-minor block dim must be a
+    multiple of 8 — so only rt % (8·gs) == 0 tiles are admissible (a
+    cap = 512·33 bucket at gs = 128 has NO such divisor; callers fall back
+    to a smaller gs via :func:`pick_gs_rt`).
     """
-    best = 512
+    best = smallest_legal = None
     for rt in range(512, cap + 1, 512):
-        if cap % rt or rt % gs:
+        if cap % rt or rt % (8 * gs):
             continue
+        if smallest_legal is None:
+            smallest_legal = rt
         bytes_needed = 2 * rt * d * itemsize + 2 * (rt // gs) * qcap_p * 4
         if bytes_needed <= _SLAB_BUDGET:
             best = rt
-    return best
+    return best if best is not None else smallest_legal
+
+
+def pick_gs_rt(cap: int, qcap_p: int, d: int, itemsize: int,
+               target_ng: int = 240, gs_max: int = 256):
+    """(gs, rt) for the group-min kernel: grow the group size while the
+    per-bucket window count stays above ``target_ng`` (the merge-traffic /
+    rescore trade, see IVFSearcher.params), then back off until a
+    Mosaic-legal row tile exists (rt % (8·gs) == 0 dividing cap — gs = 8
+    always admits rt = 512, so this terminates with a valid pair)."""
+    gs = 8
+    while gs < gs_max and cap // gs > target_ng:
+        gs *= 2
+    while gs > 8:
+        rt = pick_row_tile(cap, gs, qcap_p, d, itemsize)
+        if rt is not None:
+            return gs, rt
+        gs //= 2
+    return 8, pick_row_tile(cap, 8, qcap_p, d, itemsize)
 
 
 def _groupmin_kernel(qsl_ref, w_ref, rows_ref, out_ref, *, gs, it):
@@ -182,7 +209,10 @@ def groupmin_window_scan(
     slab stays resident across its tiles.
     """
     qcap, d = qsl.shape[1], qsl.shape[2]
-    assert cap % rt == 0 and rt % gs == 0, (cap, rt, gs)
+    # rt % (8·gs): the out block's second-to-minor dim (rt // gs) must be a
+    # multiple of 8 for Mosaic (ADVICE r4 — interpret mode never enforces
+    # it, so assert here rather than fail only on hardware)
+    assert cap % rt == 0 and rt % (8 * gs) == 0, (cap, rt, gs)
     assert gs >= 8 and gs & (gs - 1) == 0, gs
     ntiles = cap // rt
     ng = cap // gs

@@ -286,6 +286,8 @@ def sharded_ivf_search(
     interpret: bool = False,
     q_axis: Optional[str] = None,
     db_axis: str = "db",
+    rescore_rows: Optional[jnp.ndarray] = None,   # (n_pad, D) P(db, None)
+    rescore_norms: Optional[jnp.ndarray] = None,  # (n_pad,) P(db), +inf dead
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sharded IVF/TI cluster probe (VERDICT r3 #6): buckets sharded over
     the CLUSTER axis, each shard probing its local clusters with the same
@@ -299,8 +301,19 @@ def sharded_ivf_search(
     global nearest ``visit·ncl`` — the same candidate-budget contract, with
     composition differing per shard exactly as the reference's per-chunk
     cluster visiting does. Bucket ids are global, so no offset is needed.
-    Padded clusters carry far centroids, zero sizes and +inf norms; they
-    rank last in the probe and their windows are invalid in the merge.
+    Padded clusters carry far centroids, zero sizes, sentinel/poison rows
+    and all-(-1) bucket_ids; they rank last in the probe and their windows
+    are masked out of the rescore by the ids contract.
+
+    Second-stage exact rescore (VERDICT r4 #4): with ``rescore_rows`` /
+    ``rescore_norms`` (the ROW-sharded bf16 decoded tier + its +inf-masked
+    norms), each shard returns its stage-1 top-2k, the all_gather merge
+    selects the global 2k candidates, and the final metric is computed
+    distributed: each shard scores the candidates whose rows it owns and a
+    ``psum`` assembles the exact scores (the reference's chunk merge also
+    returns final-metric distances, BitVecEngine.cpp:1599-1611). Without
+    it, the sharded int8 probe serves stage-1 int8-metric selection —
+    measured ~1 recall pt worse at 10M (BENCH r4).
     """
     from vaq_tpu import ivf as ivf_mod
 
@@ -308,29 +321,60 @@ def sharded_ivf_search(
     out_spec = (P(q_axis, None) if q_axis else P(None, None),) * 2
     scales_spec = (P(None),) if dim_scales is not None else ()
     scales_arg = (dim_scales,) if dim_scales is not None else ()
+    with_rescore = rescore_rows is not None
+    if with_rescore and rescore_norms is None:
+        raise ValueError("rescore_rows requires rescore_norms")
+    res_spec = (P(db_axis, None), P(db_axis)) if with_rescore else ()
+    res_arg = (rescore_rows, rescore_norms) if with_rescore else ()
+    if with_rescore:
+        shard_rows = rescore_rows.shape[0] // mesh.shape[db_axis]
+    # stage-1 over-fetch for the rescore; probe_scan pads short results
+    k1 = 2 * k if with_rescore else k
 
     def local(cents_l, rows_l, ids_l, sizes_l, *rest):
-        if dim_scales is not None:
-            scales_l, qp_l = rest
-        else:
-            (qp_l,) = rest
-            scales_l = None
+        rest = list(rest)
+        scales_l = rest.pop(0) if dim_scales is not None else None
+        if with_rescore:
+            dec_l, norms_l = rest.pop(0), rest.pop(0)
+        qp_l = rest.pop(0)
         d, i = ivf_mod.probe_scan(
-            qp_l, cents_l, rows_l, ids_l, sizes_l, k,
+            qp_l, cents_l, rows_l, ids_l, sizes_l, k1,
             p_visit, p_max, qcap, dim_scales=scales_l, exact=exact,
             gs=gs, rt=rt, interpret=interpret)
-        return _local_topk_merge(d, i, k, db_axis)
+        d, cand = _local_topk_merge(d, i, k1, db_axis)
+        if not with_rescore:
+            return d, cand
+        # distributed exact rescore: exactly one shard owns each candidate
+        # row; it contributes 2·q·x − ‖x‖² (−inf for tombstones via the
+        # +inf norms), the psum assembles the full scores.
+        base = jax.lax.axis_index(db_axis) * shard_rows
+        lid = cand - base
+        owned = (lid >= 0) & (lid < shard_rows) & (cand >= 0)
+        lid_safe = jnp.clip(lid, 0, shard_rows - 1)
+        rr = dec_l[lid_safe]                             # (nq, k1, D)
+        inner = jnp.einsum("qd,qkd->qk", qp_l.astype(jnp.bfloat16),
+                           rr.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        contrib = jnp.where(owned, 2.0 * inner - norms_l[lid_safe], 0.0)
+        score2 = jax.lax.psum(contrib, db_axis)
+        score2 = jnp.where((cand >= 0) & jnp.isfinite(d), score2, -jnp.inf)
+        top_s, pos = jax.lax.top_k(score2, k)
+        top_i = jnp.take_along_axis(cand, pos, axis=1)
+        qn = jnp.sum(qp_l * qp_l, axis=1)
+        d2 = jnp.maximum(qn[:, None] - top_s, 0.0)
+        fin = jnp.isfinite(top_s)
+        return jnp.where(fin, d2, jnp.inf), jnp.where(fin, top_i, -1)
 
     return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(db_axis, None), P(db_axis, None, None),
                   P(db_axis, None), P(db_axis),
-                  *scales_spec, q_spec),
+                  *scales_spec, *res_spec, q_spec),
         out_specs=out_spec,
         check_vma=False,
     )(centroids, bucket_rows, bucket_ids, sizes,
-      *scales_arg, qp)
+      *scales_arg, *res_arg, qp)
 
 
 @functools.partial(

@@ -658,10 +658,11 @@ class VAQIndex:
         elif backend == "decoded8":
             self._ensure_decoded8()
 
-        # Tombstones: the norms-based paths (decoded/decoded8/IVF) exclude
-        # them exactly via +inf norms; only the codes+LUT path needs the
-        # over-fetch + post-filter (conditioned on the path actually taken,
-        # not the backend string — ADVICE r1).
+        # Tombstones: the norms-based paths (decoded/decoded8) exclude them
+        # exactly via +inf norms, and the IVF probe via bucket_ids == -1;
+        # only the codes+LUT path needs the over-fetch + post-filter
+        # (conditioned on the path actually taken, not the backend string —
+        # ADVICE r1).
         k_out = k
         n_deleted = 0 if self.deleted_ids is None else len(self.deleted_ids)
         # A sharded codes tier is served via search_device, which applies the
@@ -854,10 +855,11 @@ class VAQIndex:
 
     def delete(self, ids) -> None:
         """Tombstone rows: they stop appearing in results. Norms-based scans
-        (decoded/decoded8/sharded/IVF) exclude them exactly via +inf norms —
+        (decoded/decoded8/sharded) exclude them exactly via +inf norms —
         applied here to every materialized cache and re-applied on any
-        rebuild (_ensure_decoded*); the codes+LUT path over-fetches and
-        post-filters in search()."""
+        rebuild (_ensure_decoded*); the IVF probe excludes them exactly via
+        ``bucket_ids == -1`` (the rescore's masking contract); the
+        codes+LUT path over-fetches and post-filters in search()."""
         ids = np.atleast_1d(np.asarray(ids, dtype=np.int64))
         if self.deleted_ids is None:
             self.deleted_ids = np.unique(ids)
@@ -872,6 +874,12 @@ class VAQIndex:
             self.decoded8_norms = self.decoded8_norms.at[dev_ids].set(jnp.inf)
         if self._sharded_norms is not None:
             self._sharded_norms = self._sharded_norms.at[dev_ids].set(jnp.inf)
+            if self._sharded_ivf is not None and \
+                    getattr(self._sharded_ivf, "rescore_norms", None) \
+                    is not None:
+                # the sharded probe's rescore source aliases this array;
+                # rebinding above would otherwise strand it on the old copy
+                self._sharded_ivf.rescore_norms = self._sharded_norms
         if self._sharded_d8_norms is not None:
             self._sharded_d8_norms = \
                 self._sharded_d8_norms.at[dev_ids].set(jnp.inf)
@@ -885,7 +893,8 @@ class VAQIndex:
                 # poison the row values too: the group-min kernel ranks by
                 # values (norms are computed in-kernel), so a deleted row
                 # left in place would keep promoting its window. Exactness
-                # never depends on this — the rescore masks via +inf norms.
+                # never depends on this — the rescore masks slots whose
+                # bucket_ids are -1 (set above).
                 from vaq_tpu.ops.probe_pallas import poison_pattern
                 if st.bucket_rows.dtype == jnp.int8:
                     poison_row = jnp.asarray(
@@ -954,23 +963,29 @@ class VAQIndex:
             raise ConfigError(f"unknown shard tiers: {sorted(unknown)}")
         mesh = mesh if mesh is not None else make_mesh()
         nshards = mesh.shape["db"]
+        pad = (-self.n_rows) % nshards
+        if "decoded" in tiers:
+            self._ensure_decoded()
+            dec = jnp.pad(self.decoded, ((0, pad), (0, 0)))
+            norms = jnp.pad(self.decoded_norms, (0, pad),
+                            constant_values=np.inf)
+            self._sharded_decoded = jax.device_put(
+                dec, NamedSharding(mesh, P("db", None)))
+            self._sharded_norms = jax.device_put(
+                norms, NamedSharding(mesh, P("db")))
         if "ivf" in tiers:
             if self.ivf is None:
                 raise ConfigError(
                     "shard tier 'ivf' requires cluster_ti()/attach_ivf() "
                     "first (the probe state to shard)")
             from vaq_tpu.ivf import ShardedIVF
-            self._sharded_ivf = ShardedIVF(self.ivf.state, self.ivf.visit,
-                                           mesh, q_axis)
-        pad = (-self.n_rows) % nshards
-        if "decoded" in tiers:
-            self._ensure_decoded()
-            dec = jnp.pad(self.decoded, ((0, pad), (0, 0)))
-            norms = jnp.pad(self.decoded_norms, (0, pad))
-            self._sharded_decoded = jax.device_put(
-                dec, NamedSharding(mesh, P("db", None)))
-            self._sharded_norms = jax.device_put(
-                norms, NamedSharding(mesh, P("db")))
+            # the row-sharded decoded tier (just built above when present)
+            # doubles as the exact second-stage rescore source for int8
+            # buckets (VERDICT r4 #4)
+            self._sharded_ivf = ShardedIVF(
+                self.ivf.state, self.ivf.visit, mesh, q_axis,
+                rescore_rows=self._sharded_decoded,
+                rescore_norms=self._sharded_norms)
         if "decoded8" in tiers:
             self._ensure_decoded8()
             d8 = jnp.pad(self.decoded8, ((0, 0), (0, pad)))
