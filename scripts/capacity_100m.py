@@ -313,7 +313,31 @@ def main():
         log(f"ivf streamed build: {out['ivf_build_s']}s "
             f"(cap={state.cap}, HBM={state.bucket_rows.nbytes / 1e9:.1f} GB"
             f" logical)")
-        qp_b = pca.project(qb, idx.eigvecs, idx.total_dim)
+        import jax
+        log(f"live device bytes after upload: "
+            f"{sum(a.nbytes for a in jax.live_arrays()) / 1e9:.2f} GB "
+            f"(logical)")
+
+        def retry_oom(fn, tries=10, wait=20):
+            # The first allocation AFTER the ~10 GB bucket upload has OOMed
+            # twice (r4 single-transfer AND r5 chunked+eager-delete): the
+            # backend retires the upload's transfer buffers lazily. Backoff
+            # probes whether the backlog drains; if it genuinely never
+            # drains the last try re-raises for the section guard.
+            for t in range(tries - 1):
+                try:
+                    return fn()
+                except Exception as e:  # noqa: BLE001
+                    if "RESOURCE_EXHAUSTED" not in repr(e):
+                        raise
+                    log(f"post-upload OOM, retry {t + 1}/{tries} "
+                        f"in {wait}s")
+                    gc.collect()
+                    time.sleep(wait)
+            return fn()
+
+        qp_b = retry_oom(lambda: jax.block_until_ready(
+            pca.project(qb, idx.eigvecs, idx.total_dim)))
         qp_all = pca.project(np.asarray(queries), idx.eigvecs,
                              idx.total_dim)
         sweep = []

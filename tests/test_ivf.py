@@ -150,6 +150,57 @@ def test_streamed_build_matches_standard(ti_index):
     assert abs(r_s - r_r) < 0.05, (r_s, r_r)
 
 
+def test_transposed_buckets_d96(sift_like):
+    """d % 128 != 0 databases (the Fig.-11 DEEP d=96 class) must build the
+    TRANSPOSED (ncl, D, cap) bucket layout — row-major int8 lane-pads D to
+    128 on device (+33% HBM; the r4/r5 100M OOM) — and probe with recall
+    matching the row-major path's quality on equivalent data."""
+    import numpy as np
+
+    from vaq_tpu import metrics
+    from vaq_tpu.ops.distances import exact_search
+
+    rng = np.random.default_rng(5)
+    base = (rng.standard_normal((4096, 96)) *
+            np.linspace(3.0, 0.3, 96)[None, :]).astype(np.float32)
+    queries = base[rng.choice(4096, 64, replace=False)] + \
+        0.05 * rng.standard_normal((64, 96)).astype(np.float32)
+    import jax.numpy as jnp
+    _, gt = exact_search(jnp.asarray(queries), jnp.asarray(base), 10)
+    gt = np.asarray(gt)
+
+    cfg = parse_method_string("VAQ192m24min7max8var1,TI16m24")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    attach_ivf(idx, visit=1.0)
+    st = idx.ivf.state
+    assert st.transposed
+    assert st.bucket_rows.shape == (16, 96, st.cap)
+    assert st.d_full == 96
+
+    _, lab = idx.search(queries, 10)
+    rec = metrics.avg_recall(lab, gt, 10)
+    # full visit must sit at the exhaustive ADC ceiling (±int8 noise)
+    _, lab_x = idx.search(queries, 10, backend="decoded")
+    rec_x = metrics.avg_recall(lab_x, gt, 10)
+    assert abs(rec - rec_x) < 0.02, (rec, rec_x)
+
+    # streamed build takes the same transposed layout
+    from vaq_tpu.ivf import IVFSearcher, build_ivf_streamed
+    st2 = build_ivf_streamed(idx, chunk_rows=1000, sample_n=2000)
+    assert st2.transposed and st2.bucket_rows.shape[1] == 96
+    from vaq_tpu import pca
+    qp = pca.project(queries, idx.eigvecs, idx.total_dim)
+    _, lab2 = IVFSearcher(st2, 1.0).search(idx, jnp.asarray(qp), None, 10)
+    rec2 = metrics.avg_recall(np.asarray(lab2), gt, 10)
+    assert abs(rec2 - rec) < 0.05, (rec2, rec)
+
+    # tombstones respected through the transposed delete path
+    victim = int(lab[0, 0])
+    idx.delete(victim)
+    _, lab3 = idx.search(queries[:4], 10)
+    assert victim not in lab3[0]
+
+
 def test_streamed_build_respects_tombstones(sift_like):
     """ADVICE r4 medium: build_ivf_streamed on an index with prior deletions
     must not serve the deleted rows (VAQIndex.search skips the tombstone

@@ -70,6 +70,29 @@ def test_groupmin_matches_reference(dtype, ncl, cap, rt, gs, qcap):
 
 
 @pytest.mark.parametrize("dtype", ["bf16", "int8"])
+@pytest.mark.parametrize("d", [96, 64])
+def test_groupmin_transposed_matches_rowmajor(dtype, d):
+    """The (d, cap) transposed layout (d % 128 != 0 storage — the 100M
+    DEEP-96 fix) must score identically to the row-major kernel: same bf16
+    products, only reduction order may differ."""
+    ncl, cap, rt, gs, qcap = 3, 1024, 512, 16, 128
+    qsl, rows, dim_w = _make_inputs(ncl, cap, qcap, d, dtype)
+    out_std = probe_pallas.groupmin_window_scan(
+        qsl, rows, dim_w, ncl, cap, gs=gs, rt=rt, interpret=True)
+    rows_np = np.asarray(rows.astype(jnp.float32)).reshape(ncl, cap, d)
+    rows_t = np.ascontiguousarray(rows_np.transpose(0, 2, 1))
+    rows_t = jnp.asarray(rows_t).astype(rows.dtype).reshape(ncl * d, cap)
+    out_t = probe_pallas.groupmin_window_scan(
+        qsl, rows_t, dim_w, ncl, cap, gs=gs, rt=rt, transposed=True,
+        interpret=True)
+    o, r = (np.asarray(a, dtype=np.float32) for a in (out_t, out_std))
+    fin = np.isfinite(r)
+    np.testing.assert_array_equal(np.isfinite(o), fin)
+    denom = np.maximum(np.abs(r[fin]), 1.0)
+    assert np.max(np.abs(o[fin] - r[fin]) / denom) < 2e-5
+
+
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
 def test_groupmin_padding_ranks_last(dtype):
     """Padding slots (bf16 sentinel / int8 poison) must rank at or above
     every live row: a window of pure padding never beats a live window."""

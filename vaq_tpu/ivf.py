@@ -48,7 +48,7 @@ import numpy as np
 from vaq_tpu import kmeans
 from vaq_tpu.errors import ConfigError
 from vaq_tpu.ops import probe as probe_ops
-from vaq_tpu.ops import probe_pallas
+from vaq_tpu.ops import probe_pallas, rescore_pallas
 
 
 @dataclasses.dataclass
@@ -62,17 +62,28 @@ class IVFState:
     bucket_rows: jnp.ndarray     # (ncl, cap, D) decoded rows — int8 (the
     #                              default: per-dim scaled, HBM-roofline
     #                              term halved vs bf16) or bf16; padding
-    #                              and deleted slots hold sentinels
+    #                              and deleted slots hold sentinels.
+    #                              (ncl, D, cap) when ``transposed``.
     bucket_ids: jnp.ndarray      # (ncl, cap) i32 (-1 padding/deleted)
     sizes: jnp.ndarray           # (ncl,) i32 live member counts
     dim_scales: Optional[jnp.ndarray] = None  # (D,) f32 for int8 rows:
     #                              x̂ = bucket_rows / dim_scales
     # NOTE: no norms array — the rescore derives exact norms from the
     # gathered blocks (0.43 GB saved at 100M; see probe_scan)
+    transposed: bool = False     # (ncl, D, cap) storage: REQUIRED when
+    #                              D % 128 != 0 — row-major int8/bf16
+    #                              lane-pads D to 128 on device (+33% at
+    #                              the Fig.-11 d=96, which OOMed every
+    #                              r4/r5 100M upload before this layout)
 
     @property
     def ncl(self) -> int:
         return self.centroids.shape[0]
+
+    @property
+    def d_full(self) -> int:
+        return (self.bucket_rows.shape[1] if self.transposed
+                else self.bucket_rows.shape[2])
 
 
 def resolve_seg_num(cfg, cum_var_per_subs, highest_subs: int) -> int:
@@ -236,6 +247,10 @@ def build_ivf(index, verbose: bool = False,
     bids_dev = jnp.where(live, bids_dev, -1)
     live = live.sum(axis=1).astype(jnp.int32)
 
+    transposed = d_full % 128 != 0
+    if transposed:
+        # (ncl, D, cap): physical = logical for D % 128 != 0 (see IVFState)
+        rows_dev = jax.block_until_ready(jnp.swapaxes(rows_dev, 1, 2))
     return IVFState(
         centroids=cents,
         seg_dims=seg_dims,
@@ -244,6 +259,7 @@ def build_ivf(index, verbose: bool = False,
         bucket_ids=bids_dev,
         sizes=live,
         dim_scales=dim_scales,
+        transposed=transposed,
     )
 
 
@@ -492,22 +508,23 @@ def build_ivf_streamed(index, n_chunks_fn=None, verbose: bool = False,
 
 
 def _upload_ivf_state(index, buf, bids, sizes, cents_np, cap, seg_dims,
-                      dim_scales, ncl, d_full, free_codes, verbose,
-                      chunk_bytes: int = 1 << 29):
+                      dim_scales, ncl, d_full, free_codes, verbose):
     """Pass 4 of the streamed build (r5 redesign, VERDICT r4 #2).
 
     Upload-OOM history: r3's chunked donated updates OOMed because each
     chunk's host→device staging buffer is deallocated LAZILY by this
     backend (they piled up next to the 13 GB destination); r4's single
-    whole-buffer ``jnp.asarray`` then left the 10 GB transfer's own staging
-    pending, and the FOLLOWING 0.4 GB ``jnp.asarray(bucket_ids)`` OOMed
-    (.scratch/repl5.out). This version (a) uploads the small arrays (ids /
-    sizes / scales) FIRST, while the pool is empty, and (b) streams the
-    rows in ~0.5 GB donated ``dynamic_update_slice`` chunks with a forced
-    scalar fetch after each one — the only reliable sync on this backend
-    (CLAUDE.md: block_until_ready can return early) — so at most one
-    staging chunk is pending next to the destination. Peak HBM =
-    destination + O(chunk), vs destination + full transfer staging before.
+    whole-buffer ``jnp.asarray`` worked but the FOLLOWING 0.4 GB
+    ``jnp.asarray(bucket_ids)`` OOMed (.scratch/repl5.out); an r5 chunked
+    variant with per-chunk forced sync + eager ``h.delete()`` uploaded
+    fine but ran at 4.9 MB/s (2091 s — serializing chunks defeats the
+    transfer pipeline) AND the first post-upload allocation still OOMed.
+    Conclusion: the post-upload OOM is lazy retirement of transfer
+    buffers, independent of chunking. So: (a) the small arrays (ids /
+    sizes / scales) go up FIRST, while the pool is empty; (b) the rows go
+    up as ONE fast whole-buffer transfer; (c) callers must treat the
+    first post-upload allocation as retryable (see
+    scripts/capacity_100m.py retry_oom).
     """
     t0 = time.perf_counter()
     if free_codes:
@@ -525,26 +542,45 @@ def _upload_ivf_state(index, buf, bids, sizes, cents_np, cap, seg_dims,
     scales_dev = jnp.asarray(dim_scales)
     float(jnp.sum(sizes_dev))  # drain
 
-    nflat = ncl * cap
-    rows_dev = jnp.zeros((nflat, d_full), buf.dtype)
+    transposed = d_full % 128 != 0
+    if not transposed:
+        rows_dev = jax.block_until_ready(
+            jnp.asarray(buf)).reshape(ncl, cap, d_full)
+    else:
+        # d < 128: a direct (ncl·cap, d) transfer materializes the
+        # LANE-PADDED device layout (d → 128; +3.3 GB at 100M×96 — the
+        # actual r4/r5 upload OOM, diagnosed r5). Upload cluster chunks,
+        # transpose on device, and write into a (ncl, d, cap) destination
+        # whose physical size equals its logical size; the padded
+        # transient is one chunk (~350 MB).
+        rows_dev = jnp.zeros((ncl, d_full, cap), buf.dtype)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def _upd(dst, chunk, start):
-        return jax.lax.dynamic_update_slice(dst, chunk, (start, 0))
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def _wr(dst, chunk, c0):
+            ck = chunk.shape[0] // cap
+            t = jnp.swapaxes(chunk.reshape(ck, cap, d_full), 1, 2)
+            return jax.lax.dynamic_update_slice(dst, t, (c0, 0, 0))
 
-    ch = max(1, chunk_bytes // max(1, d_full * buf.dtype.itemsize))
-    ch = min(ch, nflat)
-    for a in range(0, nflat, ch):
-        rows = min(ch, nflat - a)
-        h = jnp.asarray(buf[a:a + rows])
-        rows_dev = _upd(rows_dev, h, jnp.int32(a))
-        del h
-        # force completion so the backend can retire this chunk's staging
-        # buffer before the next transfer starts (fixed index: the fetch
-        # program stays jit-cached across chunks)
-        float(rows_dev[0, 0])
+        ck = max(1, (1 << 28) // (cap * d_full))
+        pending = []
+        for i, c0 in enumerate(range(0, ncl, ck)):
+            cn = min(ck, ncl - c0)
+            h = jnp.asarray(buf[c0 * cap:(c0 + cn) * cap])
+            rows_dev = _wr(rows_dev, h, jnp.int32(c0))
+            pending.append(h)
+            if len(pending) >= 4:
+                # drain, then retire the consumed staging chunks eagerly
+                # (deleting only after the drain — an in-flight execution
+                # may still read them before it)
+                float(rows_dev[0, 0, 0])
+                for p in pending:
+                    p.delete()
+                pending.clear()
+        float(rows_dev[0, 0, 0])
+        for p in pending:
+            p.delete()
+        rows_dev = jax.block_until_ready(rows_dev)
     del buf
-    rows_dev = rows_dev.reshape(ncl, cap, d_full)
     state = IVFState(
         centroids=cents_np,
         seg_dims=seg_dims,
@@ -553,6 +589,7 @@ def _upload_ivf_state(index, buf, bids, sizes, cents_np, cap, seg_dims,
         bucket_ids=bids_dev,
         sizes=sizes_dev,
         dim_scales=scales_dev,
+        transposed=transposed,
     )
     if verbose:
         print(f"== ivf-streamed: upload {time.perf_counter() - t0:.0f}s")
@@ -560,11 +597,13 @@ def _upload_ivf_state(index, buf, bids, sizes, cents_np, cap, seg_dims,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "p_visit", "p_max", "qcap", "exact", "gs", "rt", "interpret"))
+    "k", "p_visit", "p_max", "qcap", "exact", "gs", "rt", "transposed",
+    "interpret"))
 def probe_scan(
     qp: jnp.ndarray,           # (nq, D) projected queries
     centroids: jnp.ndarray,    # (ncl, seg_dims)
-    bucket_rows: jnp.ndarray,  # (ncl, cap, D) int8|bf16 (sentinel-padded)
+    bucket_rows: jnp.ndarray,  # (ncl, cap, D) int8|bf16 (sentinel-padded);
+    #                            (ncl, D, cap) when transposed
     bucket_ids: jnp.ndarray,    # (ncl, cap) i32 (-1 padding/deleted)
     sizes: jnp.ndarray,         # (ncl,) live member counts
     k: int,
@@ -575,6 +614,7 @@ def probe_scan(
     exact: bool = True,
     gs: int = 16,
     rt: int = 512,
+    transposed: bool = False,
     interpret: bool = False,
     rescore_rows: Optional[jnp.ndarray] = None,   # (n, D) bf16 flat DB
     rescore_norms: Optional[jnp.ndarray] = None,  # (n,) f32 (+inf deleted)
@@ -639,9 +679,11 @@ def probe_scan(
     # int8 rows, ones for bf16 — see probe_pallas module docstring)
     dim_w = (jnp.ones((d_full,), jnp.float32) if dim_scales is None
              else 1.0 / (dim_scales * dim_scales))
+    rows_flat = (bucket_rows.reshape(ncl * d_full, cap) if transposed
+                 else bucket_rows.reshape(ncl * cap, d_full))
     mins = probe_pallas.groupmin_window_scan(
-        qsl, bucket_rows.reshape(ncl * cap, d_full),
-        dim_w, ncl, cap, gs=gs, rt=rt,
+        qsl, rows_flat,
+        dim_w, ncl, cap, gs=gs, rt=rt, transposed=transposed,
         interpret=interpret)                               # (ncl, ng, qcap_p)
 
     # per-query window merge: flat row gather of each dispatched entry's
@@ -661,23 +703,37 @@ def probe_scan(
     clus = jnp.take_along_axis(probe, p_slot, axis=1)
     wblk = clus * ng + g_idx                               # (nq, m) block ids
 
-    # block rescore: gather the winner windows' full gs-row slabs from the
-    # bucket-resident arrays (contiguous gs·D blocks — the slab shape is
-    # what makes this gather ~4× cheaper than m·gs scattered rows).
-    # NOTE: do NOT "flatten" these to (ncl·ng, gs·d) row gathers — that
-    # reshape retiles the whole bucket array (measured +10 ms at 10M).
-    blk_rows = bucket_rows.reshape(ncl * ng, gs, d_full)[wblk]
+    # block rescore: score the winner windows' full gs-row slabs from the
+    # bucket-resident arrays. On hardware this is the scalar-prefetch
+    # gather-rescore kernel (ops/rescore_pallas — the r4 XLA gather ran at
+    # ~46 GB/s effective, ~3.6 ms of the 10M budget; VERDICT r4 #5); the
+    # interpret path keeps the equivalent XLA formulation (the kernel's
+    # interpreter is far slower than XLA on CPU; value equivalence is
+    # pinned by tests/test_rescore_pallas.py and the on-chip parity gate).
     blk_ids = bucket_ids.reshape(ncl * ng, gs)[wblk]       # (nq, m, gs)
-    inner = jnp.einsum("qd,qmgd->qmg",
-                       q_eff.astype(jnp.bfloat16),
-                       blk_rows.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-    # derived norms of the stored reconstruction (exact in f32; see
-    # docstring); dead slots (ids −1) mask to −inf
-    brf = blk_rows.astype(jnp.float32)
-    blk_norms = jnp.einsum("qmgd,d->qmg", brf * brf, dim_w)
-    score = jnp.where(w_ok[:, :, None] & (blk_ids >= 0),
-                      2.0 * inner - blk_norms, -jnp.inf)
+    # transposed windows are LANE slices of the (d, cap) buckets, and DMA
+    # lane slices must be 128-aligned — gs ≥ 128 holds at the capacities
+    # that need the transposed layout (100M caps pick gs=256); smaller
+    # transposed DBs fall back to the XLA formulation
+    if not interpret and (not transposed or gs % 128 == 0):
+        raw = rescore_pallas.gather_rescore(
+            q_eff, dim_w, rows_flat, wblk, gs, transposed=transposed)
+    else:
+        # NOTE: do NOT "flatten" to (ncl·ng, gs·d) row gathers — that
+        # reshape retiles the whole bucket array (measured +10 ms at 10M).
+        rows_std = (jnp.swapaxes(bucket_rows, 1, 2) if transposed
+                    else bucket_rows)
+        blk_rows = rows_std.reshape(ncl * ng, gs, d_full)[wblk]
+        inner = jnp.einsum("qd,qmgd->qmg",
+                           q_eff.astype(jnp.bfloat16),
+                           blk_rows.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        # derived norms of the stored reconstruction (exact in f32; see
+        # docstring)
+        brf = blk_rows.astype(jnp.float32)
+        raw = 2.0 * inner - jnp.einsum("qmgd,d->qmg", brf * brf, dim_w)
+    # dead slots (ids −1) mask to −inf
+    score = jnp.where(w_ok[:, :, None] & (blk_ids >= 0), raw, -jnp.inf)
     score = score.reshape(nq, m * gs)
     rows = blk_ids.reshape(nq, m * gs)
     qn = jnp.sum(qp * qp, axis=1)
@@ -748,10 +804,9 @@ class IVFSearcher:
         # steps (rt=512 at the 10M shapes meant 30k steps whose fixed cost
         # dominated the kernel, r3 bisection). pick_gs_rt backs gs off when
         # cap admits no Mosaic-legal rt at the preferred gs (ADVICE r4).
-        d_full = st.bucket_rows.shape[2]
         qcap_p = -(-min(qcap, nq) // 128) * 128
         gs, rt = probe_pallas.pick_gs_rt(
-            st.cap, qcap_p, d_full, st.bucket_rows.dtype.itemsize)
+            st.cap, qcap_p, st.d_full, st.bucket_rows.dtype.itemsize)
         return p_visit, p_max, qcap, gs, rt
 
     def probes(self, k: int) -> int:
@@ -776,7 +831,8 @@ class IVFSearcher:
                           st.bucket_ids, st.sizes,
                           k, p_visit, p_max, qcap,
                           dim_scales=st.dim_scales, exact=exact, gs=gs,
-                          rt=rt, interpret=interpret,
+                          rt=rt, transposed=st.transposed,
+                          interpret=interpret,
                           rescore_rows=r_rows, rescore_norms=r_norms)
 
 
@@ -827,17 +883,22 @@ class ShardedIVF:
         def put(arr, spec):
             return jax.device_put(arr, NamedSharding(mesh, spec))
 
+        self.transposed = state.transposed
+        self.d_full = state.d_full
         if state.bucket_rows.dtype == jnp.int8:
             def pad_row(s, d):
-                return jnp.broadcast_to(
-                    jnp.asarray(probe_pallas.poison_pattern(s[-1])), s)
+                pat = jnp.asarray(probe_pallas.poison_pattern(self.d_full))
+                shape = ((1, self.d_full, 1) if state.transposed
+                         else (1, 1, self.d_full))  # pattern along D
+                return jnp.broadcast_to(pat.reshape(shape), s)
         else:
             def pad_row(s, d):
                 return jnp.full(s, 1e15, d)
+        pad_shape = ((padc, self.d_full, state.cap) if state.transposed
+                     else (padc, state.cap, self.d_full))
         rows = jnp.concatenate(
             [state.bucket_rows,
-             pad_row((padc, state.cap, state.bucket_rows.shape[2]),
-                     state.bucket_rows.dtype)]) if padc else \
+             pad_row(pad_shape, state.bucket_rows.dtype)]) if padc else \
             state.bucket_rows
         ids = jnp.pad(state.bucket_ids, ((0, padc), (0, 0)),
                       constant_values=-1)
@@ -861,7 +922,7 @@ class ShardedIVF:
         qcap = nq if nq <= 256 else probe_ops.pick_qcap(nq, p_max, ncl_l)
         qcap_p = -(-min(qcap, nq) // 128) * 128
         gs, rt = probe_pallas.pick_gs_rt(
-            self.cap, qcap_p, self.rows.shape[2],
+            self.cap, qcap_p, self.d_full,
             self.rows.dtype.itemsize)
         return p_visit, p_max, qcap, gs, rt
 
@@ -879,7 +940,8 @@ class ShardedIVF:
         return sharded_ivf_search(
             self.centroids, self.rows, self.ids, self.sizes,
             self.dim_scales, qp, k, self.mesh, p_visit, p_max, qcap, gs,
-            rt, exact=exact, interpret=interpret, q_axis=self.q_axis,
+            rt, exact=exact, transposed=self.transposed,
+            interpret=interpret, q_axis=self.q_axis,
             rescore_rows=r_rows, rescore_norms=r_norms)
 
 

@@ -229,6 +229,15 @@ def hierarchical_fit(x, bits: int, iters: int = 25, seed: int = 13517106,
     k_sub = 1 << (bits - coarse_bits)
     coarse, assign = fit(x, k_coarse, iters=iters, seed=seed)
     out = np.empty((k_coarse * k_sub, x.shape[1]), dtype=np.float32)
+    # One STATIC sub-fit shape: member sets are sampled (or resampled with
+    # repetition) to exactly S rows, so the jitted Lloyd program compiles
+    # ONCE instead of per coarse cluster — 2^coarse_bits distinct member
+    # shapes each cost a full remote compile on the TPU tunnel (~30 s
+    # apiece; found preparing the r5 wide-bits chip run). Repeated rows
+    # merely re-weight points; 256·k_sub follows the sampling rule of
+    # VAQ.cpp:535-544.
+    s_fit = int(min(x.shape[0], 256 * k_sub))
+    rng = np.random.default_rng(seed)
     for i in range(k_coarse):
         members = x[assign == i]
         if members.shape[0] == 0:
@@ -239,6 +248,11 @@ def hierarchical_fit(x, bits: int, iters: int = 25, seed: int = 13517106,
             reps = np.resize(members, (k_sub, x.shape[1]))
             out[i * k_sub:(i + 1) * k_sub] = reps
             continue
+        if members.shape[0] > s_fit:
+            members = members[rng.choice(members.shape[0], s_fit,
+                                         replace=False)]
+        elif members.shape[0] < s_fit:
+            members = members[rng.integers(0, members.shape[0], s_fit)]
         sub, _ = fit(members, k_sub, iters=iters, seed=seed + i + 1)
         out[i * k_sub:(i + 1) * k_sub] = sub
     return out

@@ -114,12 +114,12 @@ def _parity_groupmin() -> Tuple[bool, dict]:
     detail = {}
     ok_all = True
     rng = np.random.default_rng(0)
-    for tag, (ncl, cap, rt, gs, qcap, dtype) in {
-        "1tile_int8": (8, 1536, 1536, 8, 128, "int8"),
-        "ntile_bf16": (4, 1024, 512, 16, 128, "bf16"),
-        "gs128_int8": (4, 2048, 2048, 128, 128, "int8"),
+    for tag, (ncl, cap, rt, gs, qcap, d, dtype, transposed) in {
+        "1tile_int8": (8, 1536, 1536, 8, 128, 128, "int8", False),
+        "ntile_bf16": (4, 1024, 512, 16, 128, 128, "bf16", False),
+        "gs128_int8": (4, 2048, 2048, 128, 128, 128, "int8", False),
+        "t96_int8": (4, 2048, 1024, 16, 128, 96, "int8", True),
     }.items():
-        d = 128
         rows = rng.standard_normal((ncl * cap, d)).astype(np.float32)
         if dtype == "int8":
             rows = np.clip(np.round(rows * 32.0), -127, 127).astype(np.int8)
@@ -135,9 +135,15 @@ def _parity_groupmin() -> Tuple[bool, dict]:
         ref, bound = groupmin_ref64_and_bound(
             qsl, rows_np, dim_w, ncl, cap, gs)
         limit = 4.0 * np.maximum(bound, 1e-12)
+        if transposed:
+            rows = jnp.asarray(np.ascontiguousarray(
+                np.asarray(rows.astype(jnp.float32)).reshape(ncl, cap, d)
+                .transpose(0, 2, 1))).astype(rows.dtype).reshape(
+                    ncl * d, cap)
         for mode, interp in (("compiled", False), ("interp", True)):
             out = np.asarray(probe_pallas.groupmin_window_scan(
                 qsl, rows, dim_w, ncl, cap, gs=gs, rt=rt,
+                transposed=transposed,
                 interpret=interp), dtype=np.float64)
             err = np.abs(out - ref)
             ok = bool(np.all(err <= limit))
@@ -147,6 +153,54 @@ def _parity_groupmin() -> Tuple[bool, dict]:
                     "max_err_over_limit": round(ratio, 3),
                     "max_abs_err": float(err.max())}
             ok_all = ok_all and ok
+    return ok_all, detail
+
+
+def _parity_gather_rescore(rtol: float = 2e-4) -> Tuple[bool, dict]:
+    """Compiled-vs-interpreted gate for the scalar-prefetch gather-rescore
+    kernel (ops/rescore_pallas): same math both ways (bf16 dot with exact
+    products + Precision.HIGHEST f32 norms — bitwise, measured r5), so the
+    only legal difference is the f32 ACCUMULATION order of the dot:
+    ≤ (d−1)·2⁻²⁴·Σ|q̃·r̃| ≈ 1e-4 absolute at these magnitudes, which reads
+    as rel ≈ 1e-4 on near-zero scores (the denom floors at 1). 2e-4 covers
+    that envelope ×2; measured on-chip max 3.05e-5. (Without HIGHEST the
+    norms ran at bf16 precision — 1.3e-3 rel, 12.8% on near-zero scores —
+    which this gate catches.)"""
+    from vaq_tpu.ops import rescore_pallas
+
+    detail = {}
+    ok_all = True
+    rng = np.random.default_rng(1)
+    for tag, (nq, m, gs, d, nblk, dtype, transposed) in {
+        "gs16_int8": (16, 20, 16, 128, 64, "int8", False),
+        "gs64_bf16": (8, 20, 64, 128, 32, "bf16", False),
+        "t96_int8": (8, 6, 128, 96, 12, "int8", True),
+    }.items():
+        rows = rng.standard_normal((nblk * gs, d)).astype(np.float32)
+        if dtype == "int8":
+            rows = np.clip(np.round(rows * 32.0), -127, 127).astype(np.int8)
+            rows = jnp.asarray(rows)
+            dim_w = jnp.full((d,), 1.0 / (32.0 * 32.0), jnp.float32)
+        else:
+            rows = jnp.asarray(rows).astype(jnp.bfloat16)
+            dim_w = jnp.ones((d,), jnp.float32)
+        if transposed:  # single bucket of cap = nblk·gs, (d, cap) layout
+            rows = jnp.asarray(np.ascontiguousarray(
+                np.asarray(rows.astype(jnp.float32)).T)).astype(rows.dtype)
+        q = jnp.asarray(rng.standard_normal((nq, d)).astype(np.float32))
+        wblk = jnp.asarray(
+            rng.integers(0, nblk, size=(nq, m)).astype(np.int32))
+        out_c = np.asarray(rescore_pallas.gather_rescore(
+            q, dim_w, rows, wblk, gs, transposed=transposed,
+            interpret=False), dtype=np.float32)
+        out_i = np.asarray(rescore_pallas.gather_rescore(
+            q, dim_w, rows, wblk, gs, transposed=transposed,
+            interpret=True), dtype=np.float32)
+        rel = np.abs(out_c - out_i) / np.maximum(np.abs(out_i), 1.0)
+        ok = bool(np.all(rel < rtol))
+        if not ok:
+            detail[tag] = {"max_rel_diff": float(rel.max())}
+        ok_all = ok_all and ok
     return ok_all, detail
 
 
@@ -187,12 +241,15 @@ def kernel_parity_fields(idx, queries: np.ndarray, n_rows: int = 65536,
         codes_rm, luts)
 
     ok_g, detail_g = _parity_groupmin()
+    ok_r, detail_r = _parity_gather_rescore()
 
-    fields["kernel_parity_ok"] = bool(ok_d and ok_f and ok_g)
+    fields["kernel_parity_ok"] = bool(ok_d and ok_f and ok_g and ok_r)
     if not ok_d:
         fields["kernel_parity_decode_detail"] = detail_d
     if not ok_f:
         fields["kernel_parity_fast4_mismatches"] = bad_f
     if not ok_g:
         fields["kernel_parity_groupmin_detail"] = detail_g
+    if not ok_r:
+        fields["kernel_parity_rescore_detail"] = detail_r
     return fields

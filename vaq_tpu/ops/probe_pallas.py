@@ -90,16 +90,23 @@ def poison_pattern(d: int, dim_scales=None) -> np.ndarray:
     return pat
 
 
-def pick_inner_tile(rt: int, gs: int, qcap_p: int, d: int) -> int:
+def pick_inner_tile(rt: int, gs: int, qcap_p: int, d: int,
+                    lane_rows: bool = False) -> int:
     """Largest inner row tile whose temporaries fit _TEMP_BUDGET.
 
     Temporaries per tile: the bf16 row cast + f32 square (it·d·6) and
     dot/dist f32 + min input (~it·qcap·12).
+
+    ``lane_rows``: the transposed-slab kernel slices its (d, rt) slab on
+    the LANE axis, so the tile must additionally be a multiple of 128.
     """
     per_row = 6 * d + 12 * qcap_p
     budget = max(_TEMP_BUDGET // per_row, gs)
-    return max(t for t in (_INNER_TILE, 512, 256, 128, 64, 32, 16, 8)
-               if rt % t == 0 and t % gs == 0 and (t <= budget or t == gs))
+    floor = 128 if lane_rows else gs
+    cands = [t for t in (_INNER_TILE, 512, 256, 128, 64, 32, 16, 8)
+             if rt % t == 0 and t % gs == 0
+             and (not lane_rows or t % 128 == 0)]
+    return max(t for t in cands if t <= budget or t == min(cands, default=floor))
 
 
 def pick_row_tile(cap: int, gs: int, qcap_p: int, d: int,
@@ -189,16 +196,58 @@ def _groupmin_kernel(qsl_ref, w_ref, rows_ref, out_ref, *, gs, it):
             dist.reshape(it // gs, gs, qcap), axis=1)
 
 
+def _groupmin_kernel_t(qsl_ref, w_ref, rows_ref, out_ref, *, gs, it):
+    """Transposed-slab variant of :func:`_groupmin_kernel`.
+
+    rows_ref is (d, rt) — the storage layout for d % 128 != 0 databases
+    (e.g. the Fig.-11 DEEP d=96): row-major (rows, d) int8 lane-pads d up
+    to 128 on device (a +3.3 GB tax at 100M×96d that OOMed every r4/r5
+    upload attempt), while (d, cap) keeps physical = logical. The MXU
+    takes the transposed operand natively:
+    ``dot_general(slab (d,it), q (qcap,d), contract d×d) → (it, qcap)``,
+    and the per-row norms come from ``(slab²) · w(d,1) → (it, 1)`` — the
+    same epilogue and output layout as the row-major kernel, so the merge
+    is layout-independent.
+
+    w_ref here is (d, 1) (a sublane vector), not (1, d).
+    """
+    qcap = qsl_ref.shape[1]
+    rt = rows_ref.shape[1]
+    q = qsl_ref[0]                                         # (qcap, d) bf16
+    qf = q.astype(jnp.float32)
+    qn = 0.25 * jnp.sum(qf * qf, axis=1, keepdims=True).T  # (1, qcap)
+    w = w_ref[...]                                         # (d, 1)
+
+    for i in range(rt // it):
+        slab = rows_ref[:, i * it:(i + 1) * it].astype(jnp.bfloat16)
+        dot = jax.lax.dot_general(
+            slab, q, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (it, qcap) −2qx̂
+        sf = slab.astype(jnp.float32)
+        # HIGHEST: Mosaic lowers f32 MXU matmuls at reduced precision by
+        # default (measured r5: ~2⁻²¹ effective here) — the row-major
+        # kernel's elementwise-sum norms are full f32, so match them
+        xn = jax.lax.dot_general(
+            sf * sf, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)            # (it, 1) ‖x̂‖²
+        dist = (dot + xn) + qn
+        out_ref[i * (it // gs):(i + 1) * (it // gs), :] = jnp.min(
+            dist.reshape(it // gs, gs, qcap), axis=1)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("ncl", "cap", "gs", "rt", "interpret"))
+                   static_argnames=("ncl", "cap", "gs", "rt", "transposed",
+                                    "interpret"))
 def groupmin_window_scan(
     qsl: jnp.ndarray,        # (ncl, qcapP, d) bf16 query slabs, −2-scaled
-    bucket_rows: jnp.ndarray,  # (ncl*cap, d) bf16|int8, sentinel/poison pad
+    bucket_rows: jnp.ndarray,  # (ncl*cap, d) — or (ncl*d, cap) transposed
     dim_w: jnp.ndarray,      # (d,) f32 norm weights (1/scales² | ones)
     ncl: int,
     cap: int,
     gs: int = 16,
     rt: int = 512,
+    transposed: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Per-(cluster, query-slot, gs-row group) min squared distances.
@@ -206,7 +255,8 @@ def groupmin_window_scan(
     Returns (ncl, ng, qcapP) f32 with ng = cap // gs (window-ranking
     values; exact distances come from the caller's block rescore). Grid is
     (ncl, cap // rt): row slabs stream HBM→VMEM while each cluster's query
-    slab stays resident across its tiles.
+    slab stays resident across its tiles. ``transposed`` selects the
+    (d, cap) bucket layout for d % 128 != 0 (see _groupmin_kernel_t).
     """
     qcap, d = qsl.shape[1], qsl.shape[2]
     # rt % (8·gs): the out block's second-to-minor dim (rt // gs) must be a
@@ -216,24 +266,38 @@ def groupmin_window_scan(
     assert gs >= 8 and gs & (gs - 1) == 0, gs
     ntiles = cap // rt
     ng = cap // gs
-    it = pick_inner_tile(rt, gs, qcap, d)
+    it = pick_inner_tile(rt, gs, qcap, d, lane_rows=transposed)
+    if transposed:
+        sub = 32 if bucket_rows.dtype == jnp.int8 else 16
+        assert d % sub == 0, (d, bucket_rows.dtype)  # sublane tile fit
+        kern = functools.partial(_groupmin_kernel_t, gs=gs, it=it)
+        rows_spec = pl.BlockSpec((d, rt), lambda c, t: (c, t),
+                                 memory_space=pltpu.VMEM)
+        w_arg = dim_w.reshape(d, 1)
+        w_spec = pl.BlockSpec((d, 1), lambda c, t: (0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        kern = functools.partial(_groupmin_kernel, gs=gs, it=it)
+        rows_spec = pl.BlockSpec((rt, d), lambda c, t: (c * ntiles + t, 0),
+                                 memory_space=pltpu.VMEM)
+        w_arg = dim_w.reshape(1, d)
+        w_spec = pl.BlockSpec((1, d), lambda c, t: (0, 0),
+                              memory_space=pltpu.VMEM)
     mins = pl.pallas_call(
-        functools.partial(_groupmin_kernel, gs=gs, it=it),
+        kern,
         grid=(ncl, ntiles),
         in_specs=[
             pl.BlockSpec((1, qcap, d), lambda c, t: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d), lambda c, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rt, d), lambda c, t: (c * (cap // rt) + t, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
+            rows_spec,
         ],
         out_specs=pl.BlockSpec((rt // gs, qcap),
-                               lambda c, t: (c * (cap // rt) + t, 0),
+                               lambda c, t: (c * ntiles + t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ncl * ng, qcap), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(qsl, dim_w.reshape(1, d), bucket_rows)
+    )(qsl, w_arg, bucket_rows)
     return mins.reshape(ncl, ng, qcap)

@@ -169,10 +169,9 @@ def decoded8_scan_topk(
     inner = jnp.dot(q_folded, decoded8.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32)   # ≈ q·x̂
     score = 2.0 * inner - norms[None, :]
-    # Over-fetch 2k candidates: bf16 score rounding can locally shuffle
-    # near-boundary rows out of the top-k; they stay within the top-2k, and
-    # the exact f32 rescore below recovers them (measured: closes most of
-    # the bf16+approx miss vs exact=True — see test_approx_miss_rate).
+    # Over-fetch 2k candidates; the exact f32 rescore below repairs
+    # ordering among the fetched set (deeper fetches measured useless —
+    # see decoded_scan_topk).
     kk = min(max(2 * k, k + 16), n)
     if exact:
         vals, idx = jax.lax.top_k(score, kk)
@@ -251,6 +250,12 @@ def decoded_scan_topk(
     # Over-fetch 2k then rescore exactly — recovers rows that bf16 score
     # rounding (or the approx partial-reduce windows) shuffled just outside
     # the top-k (VERDICT r1 weak #9; quantified in test_approx_miss_rate).
+    # Measured on-chip (r5 verify4): deeper fetches buy nothing — at 1M,
+    # kk=2k reads 0.3221 vs the exact-top_k ceiling 0.3226 (0.05 pt) while
+    # kk=4k costs 29% QPS and kk=8k falls off the approx_max_k cliff
+    # (495k → 353k → 73k QPS). The r4 "oracle gap" attributed to this
+    # path was actually the bf16-default-matmul groundtruth corruption
+    # fixed in vaq_tpu/__init__ (scripts/oracle_bisect.py history).
     kk = min(max(2 * k, k + 16), n)
     if exact:
         vals, idx = jax.lax.top_k(score, kk)

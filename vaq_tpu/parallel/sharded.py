@@ -266,11 +266,13 @@ def sharded_codes_search(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "mesh", "p_visit", "p_max", "qcap", "gs", "rt",
-                     "exact", "interpret", "q_axis", "db_axis"),
+                     "exact", "transposed", "interpret", "q_axis",
+                     "db_axis"),
 )
 def sharded_ivf_search(
     centroids: jnp.ndarray,     # (ncl_pad, seg_dims) cluster-sharded
-    bucket_rows: jnp.ndarray,   # (ncl_pad, cap, D) int8|bf16
+    bucket_rows: jnp.ndarray,   # (ncl_pad, cap, D) int8|bf16 —
+    #                             (ncl_pad, D, cap) when transposed
     bucket_ids: jnp.ndarray,    # (ncl_pad, cap) i32 — GLOBAL row ids
     sizes: jnp.ndarray,         # (ncl_pad,) i32
     dim_scales,                 # (D,) f32 or None (int8 rows only)
@@ -283,6 +285,7 @@ def sharded_ivf_search(
     gs: int,
     rt: int,
     exact: bool = False,
+    transposed: bool = False,
     interpret: bool = False,
     q_axis: Optional[str] = None,
     db_axis: str = "db",
@@ -340,7 +343,7 @@ def sharded_ivf_search(
         d, i = ivf_mod.probe_scan(
             qp_l, cents_l, rows_l, ids_l, sizes_l, k1,
             p_visit, p_max, qcap, dim_scales=scales_l, exact=exact,
-            gs=gs, rt=rt, interpret=interpret)
+            gs=gs, rt=rt, transposed=transposed, interpret=interpret)
         d, cand = _local_topk_merge(d, i, k1, db_axis)
         if not with_rescore:
             return d, cand

@@ -897,12 +897,16 @@ class VAQIndex:
                 # bucket_ids are -1 (set above).
                 from vaq_tpu.ops.probe_pallas import poison_pattern
                 if st.bucket_rows.dtype == jnp.int8:
-                    poison_row = jnp.asarray(
-                        poison_pattern(st.bucket_rows.shape[2]))
+                    poison_row = jnp.asarray(poison_pattern(st.d_full))
                 else:
-                    poison_row = jnp.full((st.bucket_rows.shape[2],), 1e15,
+                    poison_row = jnp.full((st.d_full,), 1e15,
                                           st.bucket_rows.dtype)
-                st.bucket_rows = st.bucket_rows.at[r_d, c_d].set(poison_row)
+                if st.transposed:   # (ncl, D, cap): slots are columns
+                    st.bucket_rows = st.bucket_rows.at[r_d, :, c_d].set(
+                        poison_row)
+                else:
+                    st.bucket_rows = st.bucket_rows.at[r_d, c_d].set(
+                        poison_row)
                 dec = np.bincount(r, minlength=st.ncl).astype(np.int32)
                 st.sizes = st.sizes - jnp.asarray(dec)
                 if self._sharded_ivf is not None:
@@ -910,7 +914,10 @@ class VAQIndex:
                     # coordinates — padding clusters are appended after ncl)
                     siv = self._sharded_ivf
                     siv.ids = siv.ids.at[r_d, c_d].set(-1)
-                    siv.rows = siv.rows.at[r_d, c_d].set(poison_row)
+                    if siv.transposed:
+                        siv.rows = siv.rows.at[r_d, :, c_d].set(poison_row)
+                    else:
+                        siv.rows = siv.rows.at[r_d, c_d].set(poison_row)
                     dec_p = np.pad(dec, (0, siv.sizes.shape[0] - st.ncl))
                     siv.sizes = siv.sizes - jnp.asarray(dec_p)
                     siv.local_sizes = (siv.local_sizes
