@@ -420,6 +420,30 @@ def main():
                         "section (Fig. 11 fractions)")
     args = p.parse_args()
 
+    # Tunnel preflight (diagnostic only): the axon backend reaches the TPU
+    # through a local relay on these ports; when the relay is down, jax
+    # init blocks ~25 min before erroring. Log the state up front so a
+    # dead-relay run is identifiable from the first seconds of stderr.
+    import socket
+    relay_ports = [8082, 8092, 8102, 8112]
+    open_ports = []
+    for port in relay_ports:
+        s = socket.socket()
+        s.settimeout(0.5)
+        try:
+            s.connect(("127.0.0.1", port))
+            open_ports.append(port)
+        except OSError:
+            pass
+        finally:
+            s.close()
+    if open_ports:
+        log(f"tunnel preflight: relay ports open {open_ports}")
+    else:
+        log("tunnel preflight: NO relay ports open — the TPU tunnel "
+            "relay looks down; jax init will likely hang ~25 min and "
+            "fail UNAVAILABLE")
+
     import jax
     import jax.numpy as jnp
 
