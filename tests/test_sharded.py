@@ -345,6 +345,37 @@ def test_sharded_ivf_rescore_matches_unsharded(mesh8, sift_like):
     assert victim not in l_del[0]
 
 
+def test_sharded_ivf_transposed_d96(mesh8):
+    """Cluster-sharded probe over the TRANSPOSED (ncl, D, cap) bucket
+    layout (d % 128 != 0 — the 100M DEEP-96 class) with the distributed
+    rescore: recall must match the unsharded transposed probe."""
+    from vaq_tpu import metrics
+    from vaq_tpu.config import parse_method_string
+    from vaq_tpu.ivf import attach_ivf
+    from vaq_tpu.ops.distances import exact_search
+    from vaq_tpu.vaq import VAQIndex
+
+    rng = np.random.default_rng(6)
+    base = (rng.standard_normal((4096, 96)) *
+            np.linspace(3.0, 0.3, 96)[None, :]).astype(np.float32)
+    queries = base[rng.choice(4096, 48, replace=False)] + \
+        0.05 * rng.standard_normal((48, 96)).astype(np.float32)
+    _, gt = exact_search(jnp.asarray(queries), jnp.asarray(base), 10)
+    gt = np.asarray(gt)
+
+    cfg = parse_method_string("VAQ192m24min7max8var1,TI32m24")
+    idx = VAQIndex(cfg).train(base).encode(base)
+    attach_ivf(idx, visit=1.0)
+    assert idx.ivf.state.transposed
+    _, l_ref = idx.search(queries, 10)
+    idx.shard(mesh8, tiers=("decoded", "ivf"))
+    assert idx._sharded_ivf.transposed
+    _, l_sh = idx.search(queries, 10)
+    r_ref = metrics.avg_recall(l_ref, gt, 10)
+    r_sh = metrics.avg_recall(l_sh, gt, 10)
+    assert abs(r_sh - r_ref) < 0.02, (r_sh, r_ref)
+
+
 def test_sharded_ivf_requires_attach(mesh8, sift_like):
     from vaq_tpu.config import parse_method_string
     from vaq_tpu.errors import ConfigError
