@@ -180,8 +180,14 @@ def _groupmin_kernel(qsl_ref, w_ref, rows_ref, out_ref, *, gs, it):
 
     for i in range(rt // it):
         rows = rows_ref[i * it:(i + 1) * it, :].astype(jnp.bfloat16)
+        # precision DEFAULT, explicitly: the session-wide
+        # jax_default_matmul_precision=highest otherwise reaches this
+        # bf16 dot and Mosaic rejects fp32 contract precision on bf16
+        # operands ("Bad lhs type", hit at the 100M d=96 compile). bf16
+        # MXU multiplies are exact regardless.
         dot = jax.lax.dot_general(
             rows, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)            # (it, qcap) −2qx̂
         rf = rows.astype(jnp.float32)
         xn = jnp.sum(rf * rf * w, axis=1, keepdims=True)   # (it, 1) ‖x̂‖²
@@ -222,6 +228,7 @@ def _groupmin_kernel_t(qsl_ref, w_ref, rows_ref, out_ref, *, gs, it):
         slab = rows_ref[:, i * it:(i + 1) * it].astype(jnp.bfloat16)
         dot = jax.lax.dot_general(
             slab, q, dimension_numbers=(((0,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,  # see _groupmin_kernel
             preferred_element_type=jnp.float32)            # (it, qcap) −2qx̂
         sf = slab.astype(jnp.float32)
         # HIGHEST: Mosaic lowers f32 MXU matmuls at reduced precision by

@@ -82,9 +82,12 @@ def _kernel_t(wblk_ref, qt_ref, w_ref, rows_hbm, out_ref, slabs, sems, *,
     span = m_pad * gs
     for i in range(tq):
         fl = slabs[slot, :, pl.ds(i * span, span)].astype(jnp.bfloat16)
+        # DEFAULT, explicitly: the global highest default would set fp32
+        # contract precision on this bf16 dot, which Mosaic rejects
         dots = jax.lax.dot_general(
             qt_ref[i:i + 1, :], fl,
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
             preferred_element_type=jnp.float32)       # (1, span)
         rf = fl.astype(jnp.float32)
         # HIGHEST: Mosaic otherwise lowers this f32 matmul at bf16
@@ -154,6 +157,7 @@ def _kernel(wblk_ref, qt_ref, w_ref, rows_hbm, out_ref, slabs, sems, *,
         dots = jax.lax.dot_general(
             qt_ref[i:i + 1, :], fl,
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,      # see _kernel_t
             preferred_element_type=jnp.float32)       # (1, span) = 2qx̂/2
         rf = fl.astype(jnp.float32)
         # HIGHEST: see _kernel_t — f32 MXU matmuls otherwise run at bf16

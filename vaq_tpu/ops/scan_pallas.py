@@ -99,8 +99,14 @@ def _onehot_group(codes_ref, g, gs, lanes, code_of_lane, sel, out_dtype):
     # two-step cast: Mosaic lacks a direct uint8 → bf16 lowering
     codes_g = codes_ref[:, g * gs:(g + 1) * gs].astype(jnp.int32) \
         .astype(jnp.bfloat16)
+    # precision DEFAULT, explicitly, here and on every non-f32 kernel dot:
+    # the session-wide jax_default_matmul_precision=highest otherwise
+    # traces fp32 contract precision onto bf16/int8 operands, which
+    # Mosaic rejects at compile ("Bad lhs type"). bf16/int8 MXU
+    # multiplies are exact regardless.
     code_lane = jax.lax.dot_general(
         codes_g, sel, dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)                # (NB, lanes)
     return (code_lane == code_of_lane).astype(out_dtype)
 
@@ -130,6 +136,7 @@ def _fast4_kernel(lut_ref, codes_ref, packed_ref, acc_ref):
         part = jax.lax.dot_general(
             onehot, lut_ref[:, g * lanes:(g + 1) * lanes].astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,  # see _onehot_group
             preferred_element_type=jnp.float32)            # (NB, QT)
         if g == 0:
             acc_ref[:] = part
@@ -162,6 +169,7 @@ def _fast4_kernel_int8(lut_ref, codes_ref, packed_ref, acc_ref):
         part = jax.lax.dot_general(
             onehot, lut_ref[:, g * lanes:(g + 1) * lanes],
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,  # see _onehot_group
             preferred_element_type=jnp.int32)              # (NB, QT)
         if g == 0:
             acc_ref[:] = part
@@ -305,6 +313,7 @@ def _decode_score_kernel(table_ref, rep_ref, codes_ref, q_ref,
         cl_ref[:] = jax.lax.dot_general(
             codes_ref[:].astype(jnp.int32).astype(jnp.bfloat16), rep_ref[:],
             dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,  # see _onehot_group
             preferred_element_type=jnp.float32).astype(jnp.int32)
 
         # Mosaic's sublane dynamic_gather spans ONE vreg: 8 32-bit rows with
@@ -338,6 +347,7 @@ def _decode_score_kernel(table_ref, rep_ref, codes_ref, q_ref,
         dot = jax.lax.dot_general(
             dec_w.astype(jnp.bfloat16), q_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,  # see _onehot_group
             preferred_element_type=jnp.float32)            # (wr, qt)
         # ‖x̂‖² recomputed from the f32 decoded scratch — exact, and avoids
         # a (cell_rows, 1) input block that lane-pads to 128 (2 MB of VMEM)
@@ -478,6 +488,7 @@ def _decode_dist_kernel(rows_ref, rep_ref, codes_ref, q_ref, out_ref,
     cl_ref[:] = jax.lax.dot_general(
         codes_ref[:].astype(jnp.int32).astype(jnp.bfloat16), rep_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,  # see _onehot_group
         preferred_element_type=jnp.float32).astype(jnp.int32)
 
     def chunk_body(i, _):
